@@ -1,0 +1,212 @@
+"""FEMMesh: degree-1/2 Lagrange node management over simplicial meshes.
+
+TPU-native redesign of reference ``FEMMesh.hh:90`` / ``FEMMesh.inl:11-83``:
+instead of half-edge traversal + ``std::map`` edge-node numbering, all
+connectivity is flattened on the host (numpy, lexsort-unique edge hashing)
+into static index arrays; element geometry (barycentric gradients, volumes,
+boundary normals) is computed by one batched, differentiable JAX function
+(replacing ``Embedder<K>::embed``, ``FEMMesh.hh:45-66``).  Device code only
+ever sees gathers/scatters over these arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem import simplex, shape_functions
+from . import geometry as geom
+from .simplicial import TriMesh, TetMesh, TRI_FACE_CORNERS, TET_FACE_CORNERS
+
+
+@dataclasses.dataclass(frozen=True)
+class ElementGeometry:
+    """Batched per-element embedding data (device arrays)."""
+
+    grad_lambda: jnp.ndarray   # [E, K+1, dim] spatial gradients of barycentric
+    volume: jnp.ndarray        # [E] signed volumes
+    bdry_normal: jnp.ndarray   # [B, dim] outward unit normals
+    bdry_volume: jnp.ndarray   # [B] boundary element measures
+
+
+class FEMMesh:
+    """P1/P2 FEM mesh over a K-simplicial complex embedded in R^dim.
+
+    Host-side numpy connectivity:
+      * ``elem_nodes  [E, n]``  element -> global node (vertices then
+        edge nodes, GMSH local ordering per ``Simplex.hh:31-46``)
+      * ``node_positions [N, dim]``
+      * ``bdry_elems  [B, K]``  boundary (K-1)-simplices, outward wound
+      * ``bdry_elem_nodes [B, nb]`` -> volume node indices
+      * ``bdry_nodes  [NB]``    unique volume node indices on the boundary
+      * ``bdry_elem_vol_elem [B]`` element adjacent to each boundary element
+
+    Device-side geometry from :meth:`geometry` (jitted, differentiable in the
+    node positions — this is what replaces all of the reference's hand-coded
+    shape-derivative ``delta*`` machinery).
+    """
+
+    def __init__(self, V, F, degree: int = 1, embedding_dim: int | None = None):
+        F = np.ascontiguousarray(F, dtype=np.int64)
+        V = np.atleast_2d(np.ascontiguousarray(V, dtype=np.float64))
+        K = F.shape[1] - 1
+        if K not in (2, 3):
+            raise ValueError("FEMMesh supports triangles (K=2) and tets (K=3)")
+        if degree not in (1, 2):
+            raise ValueError("degree must be 1 or 2 (like the reference)")
+        if embedding_dim is not None:
+            if V.shape[1] < embedding_dim:
+                V = np.pad(V, [(0, 0), (0, embedding_dim - V.shape[1])])
+            else:
+                V = V[:, :embedding_dim]
+        self.K = K
+        self.degree = degree
+        self.dim = V.shape[1]
+        self.V = V
+        self.F = F
+
+        self.cell = TriMesh.build(V, F) if K == 2 else TetMesh.build(V, F)
+
+        # --- volume node numbering -----------------------------------
+        nv = len(V)
+        if degree == 1:
+            self.num_edges = 0
+            self._edge_keys = np.empty(0, dtype=np.int64)
+            elem_nodes = F.copy()
+            node_pos = V.copy()
+        else:
+            pairs = np.asarray(simplex.simplex_edges(K))  # [ne_loc, 2]
+            ev = np.stack([F[:, pairs[:, 0]], F[:, pairs[:, 1]]], axis=-1)
+            ev = ev.reshape(-1, 2)                        # [E*ne_loc, 2]
+            key = np.min(ev, axis=1) * nv + np.max(ev, axis=1)
+            uniq, inverse = np.unique(key, return_inverse=True)
+            self.num_edges = len(uniq)
+            self._edge_keys = uniq
+            edge_node = nv + inverse.reshape(len(F), -1)
+            elem_nodes = np.concatenate([F, edge_node], axis=1)
+            mids = 0.5 * (V[uniq // nv] + V[uniq % nv])
+            node_pos = np.concatenate([V, mids], axis=0)
+        self.elem_nodes = elem_nodes.astype(np.int64)
+        self.node_positions = node_pos
+        self.num_nodes = len(node_pos)
+        self.nodes_per_elem = simplex.num_nodes(K, degree)
+
+        # --- boundary -------------------------------------------------
+        if K == 2:
+            bdry = self.cell.boundary_edges()
+        else:
+            bdry = self.cell.boundary_faces()
+        self.bdry_elems = bdry.astype(np.int64)            # [B, K] vertices
+        if K == 2:
+            adj = self.cell.bdry_halfedge // 3
+        else:
+            adj = self.cell.bdry_halfface // 4
+        self.bdry_elem_vol_elem = adj.astype(np.int64)
+        self.bdry_elem_nodes = self._boundary_nodes_of(bdry)
+        self.bdry_nodes = np.unique(self.bdry_elem_nodes)
+        mask = np.zeros(self.num_nodes, dtype=bool)
+        mask[self.bdry_nodes] = True
+        self.is_bdry_node = mask
+
+        self._geom_cache: ElementGeometry | None = None
+
+    # ------------------------------------------------------------------
+    def _boundary_nodes_of(self, belems: np.ndarray) -> np.ndarray:
+        """Boundary (K-1)-simplex -> volume node indices (vertices + edge
+        nodes for P2), GMSH local ordering on the boundary element."""
+        if self.degree == 1:
+            return belems.copy()
+        nv = len(self.V)
+        pairs = np.asarray(simplex.simplex_edges(self.K - 1))
+        ev = np.stack([belems[:, pairs[:, 0]], belems[:, pairs[:, 1]]], axis=-1)
+        key = np.min(ev, axis=-1) * nv + np.max(ev, axis=-1)
+        pos = np.searchsorted(self._edge_keys, key)
+        if not np.all(self._edge_keys[np.clip(pos, 0, self.num_edges - 1)] == key):
+            raise RuntimeError("boundary edge missing from volume edge table")
+        return np.concatenate([belems, nv + pos], axis=1)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_elements(self) -> int:
+        return len(self.F)
+
+    @property
+    def num_boundary_elements(self) -> int:
+        return len(self.bdry_elems)
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.V)
+
+    def bbox(self) -> geom.BBox:
+        return geom.BBox.of(self.V)
+
+    def barycenters(self) -> np.ndarray:
+        return self.V[self.F].mean(axis=1)
+
+    def boundary_barycenters(self) -> np.ndarray:
+        return self.V[self.bdry_elems].mean(axis=1)
+
+    # ------------------------------------------------------------------
+    def geometry(self, node_positions=None) -> ElementGeometry:
+        """Differentiable embedding of all elements (+ boundary elements).
+
+        ``node_positions`` (device array [N, dim]) defaults to the stored
+        positions; passing perturbed positions re-embeds, replacing
+        ``FEMMesh::setNodePositions`` (``FEMMesh.hh:222-237``)."""
+        if node_positions is None:
+            if self._geom_cache is None:
+                X = jnp.asarray(self.node_positions)
+                self._geom_cache = self._embed(X)
+            return self._geom_cache
+        return self._embed(jnp.asarray(node_positions))
+
+    def _embed(self, X) -> ElementGeometry:
+        corners = X[self.F]                          # vertices only
+        grad_lambda, volume = geom.simplex_geometry(corners, self.K)
+        bcorners = X[self.bdry_elems]
+        normal, bvol = geom.boundary_normals(bcorners)
+        return ElementGeometry(grad_lambda, volume, normal, bvol)
+
+    # ------------------------------------------------------------------
+    def volume(self) -> float:
+        return float(jnp.sum(self.geometry().volume))
+
+    def boundary_volume(self) -> float:
+        return float(jnp.sum(self.geometry().bdry_volume))
+
+    def node_mass_lumped(self):
+        """[N] lumped nodal measure: sum over elements of vol * int(phi_i)."""
+        g = self.geometry()
+        w = jnp.asarray(
+            shape_functions.integrated_shape_np(self.K, self.degree))
+        contrib = g.volume[:, None] * w[None, :]
+        return jax.ops.segment_sum(
+            contrib.ravel(),
+            jnp.asarray(self.elem_nodes.ravel()),
+            num_segments=self.num_nodes,
+        )
+
+    # Convenience region selectors (used by BC application) --------------
+    def nodes_in_box(self, lo, hi, tol_frac: float = 1e-10) -> np.ndarray:
+        bb = self.bbox()
+        tol = tol_frac * float(np.max(bb.dimensions))
+        p = self.node_positions
+        m = np.all((p >= np.asarray(lo) - tol) & (p <= np.asarray(hi) + tol),
+                   axis=1)
+        return np.flatnonzero(m)
+
+    def boundary_elems_in_box(self, lo, hi, tol_frac: float = 1e-10):
+        bb = self.bbox()
+        tol = tol_frac * float(np.max(bb.dimensions))
+        c = self.node_positions[self.bdry_elem_nodes].mean(axis=1)
+        ok = np.ones(len(self.bdry_elems), dtype=bool)
+        for corner in range(self.bdry_elems.shape[1]):
+            p = self.V[self.bdry_elems[:, corner]]
+            ok &= np.all((p >= np.asarray(lo) - tol)
+                         & (p <= np.asarray(hi) + tol), axis=1)
+        return np.flatnonzero(ok)

@@ -16,6 +16,23 @@ import jax
 import jax.numpy as jnp
 
 
+def det(A):
+    """Closed-form determinant for [..., n, n], n <= 3 (f64-safe on TPU,
+    where jnp.linalg.det lowers to an unsupported LU for f64)."""
+    n = A.shape[-1]
+    if n == 1:
+        return A[..., 0, 0]
+    if n == 2:
+        return A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    if n == 3:
+        return (
+            A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+            - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+            + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+        )
+    raise ValueError("closed-form det only for n <= 3")
+
+
 def inv(A):
     """Batched inverse of small matrices [..., n, n] via Gauss-Jordan with
     partial pivoting.  Unrolled over n (use only for n <~ 32)."""
