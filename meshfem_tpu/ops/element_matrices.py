@@ -1,0 +1,175 @@
+"""Exact per-element FEM matrices via reference-domain integral tables.
+
+The reference evaluates element integrands at Gauss points per element
+(``Laplacian.hh:25-56``, ``MassMatrix.hh:24-60``, the ``perElementStiffness``
+loop nest ``LinearElasticity.hh:165-232``).  On an affine simplex every such
+integral factors into (constant reference-domain tensor) x (per-element
+geometry), so we precompute the reference tensors **exactly** (closed-form
+monomial integrals — no quadrature error, any degree) once per (K, deg), and
+per-element work becomes a batched einsum that XLA maps onto the MXU:
+
+* mass:       M_e = vol_e * T_mass[i, j]
+* laplacian:  L_e = vol_e * sum_kl (g_k . g_l) T_grad[k, l, i, j]
+* elasticity: K_e = vol_e * sum_klab g_k^a g_l^b C_{cafb} T_grad[k, l, i, j]
+
+with g = grad_lambda [E, K+1, dim] from the mesh embedding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem import shape_functions as sf
+from ..fem.elasticity_tensor import to_full
+
+
+def _monomial_integral_factor(exps: np.ndarray, K: int) -> np.ndarray:
+    """int over unit-volume K-simplex of prod lambda^alpha, for rows of exps."""
+    out = np.empty(len(exps))
+    for r, e in enumerate(exps):
+        num = math.factorial(K) * np.prod([math.factorial(int(a)) for a in e])
+        out[r] = num / math.factorial(int(e.sum()) + K)
+    return out
+
+
+def _poly_product_integrals(expsA, coeffsA, expsB, coeffsB, K):
+    """[nA, nB] matrix of exact integrals int p_i q_j over the unit simplex,
+    where p_i = sum_m coeffsA[m, i] mono(expsA[m]) etc."""
+    MA, MB = len(expsA), len(expsB)
+    fac = np.empty((MA, MB))
+    for m in range(MA):
+        for n in range(MB):
+            e = expsA[m] + expsB[n]
+            num = math.factorial(K) * np.prod(
+                [math.factorial(int(a)) for a in e])
+            fac[m, n] = num / math.factorial(int(e.sum()) + K)
+    return coeffsA.T @ fac @ coeffsB
+
+
+@functools.lru_cache(maxsize=None)
+def _basis_and_derivs(K: int, deg: int):
+    """(exps, coeffs, dexps, dcoeffs[v]) — derivative polynomials w.r.t. each
+    barycentric coordinate as coefficient sets over the degree-(deg-1) basis."""
+    exps, coeffs = sf._lagrange_tables(K, deg)
+    exps = np.asarray(exps)
+    nv, n = K + 1, coeffs.shape[1]
+    # Derivative monomials live in the homogeneous degree-(deg-1) space.
+    from ..fem.shape_functions import _monomial_exponents
+
+    dexps = (_monomial_exponents(K, deg - 1) if deg >= 1
+             else np.zeros((1, nv), dtype=np.int64))
+    index = {tuple(e): i for i, e in enumerate(dexps)}
+    dcoeffs = np.zeros((nv, len(dexps), n))
+    for v in range(nv):
+        for m, e in enumerate(exps):
+            if e[v] == 0:
+                continue
+            e2 = e.copy()
+            e2[v] -= 1
+            dcoeffs[v, index[tuple(e2)], :] += e[v] * coeffs[m, :]
+    return exps, coeffs, dexps, dcoeffs
+
+
+@functools.lru_cache(maxsize=None)
+def mass_table(K: int, deg: int) -> np.ndarray:
+    """[n, n] exact int phi_i phi_j over the unit-volume reference simplex."""
+    exps, coeffs, _, _ = _basis_and_derivs(K, deg)
+    return _poly_product_integrals(exps, coeffs, exps, coeffs, K)
+
+
+@functools.lru_cache(maxsize=None)
+def gradgrad_table(K: int, deg: int) -> np.ndarray:
+    """[K+1, K+1, n, n] exact int (dphi_i/dlam_k)(dphi_j/dlam_l)."""
+    _, _, dexps, dcoeffs = _basis_and_derivs(K, deg)
+    nv = K + 1
+    n = dcoeffs.shape[2]
+    T = np.empty((nv, nv, n, n))
+    for k in range(nv):
+        for l in range(nv):
+            T[k, l] = _poly_product_integrals(
+                dexps, dcoeffs[k], dexps, dcoeffs[l], K)
+    return T
+
+
+@functools.lru_cache(maxsize=None)
+def shape_grad_table(K: int, deg: int) -> np.ndarray:
+    """[K+1, n] exact int dphi_i/dlam_k (for divergence/constant-strain loads)."""
+    _, _, dexps, dcoeffs = _basis_and_derivs(K, deg)
+    fac = _monomial_integral_factor(np.asarray(dexps), K)
+    return np.einsum("m,vmn->vn", fac, dcoeffs)
+
+
+# ---------------------------------------------------------------------------
+# Batched element matrices (device).
+# ---------------------------------------------------------------------------
+
+def element_mass(volume, K: int, deg: int):
+    """[E, n, n] consistent mass matrices (reference ``MassMatrix.hh:49``)."""
+    T = jnp.asarray(mass_table(K, deg), dtype=volume.dtype)
+    return volume[:, None, None] * T
+
+
+def element_mass_lumped(volume, K: int, deg: int):
+    """[E, n] row-sum lumped mass (reference lumped-mass option)."""
+    T = jnp.asarray(mass_table(K, deg), dtype=volume.dtype)
+    return volume[:, None] * jnp.sum(T, axis=1)
+
+
+def element_laplacian(grad_lambda, volume, deg: int):
+    """[E, n, n] stiffness int grad phi_i . grad phi_j
+    (reference ``Laplacian.hh:28-56``; P1 fast path is the same formula
+    since T_grad for deg=1 is the identity pattern)."""
+    K = grad_lambda.shape[-2] - 1
+    T = jnp.asarray(gradgrad_table(K, deg), dtype=grad_lambda.dtype)
+    G = jnp.einsum("ekd,eld->ekl", grad_lambda, grad_lambda)
+    return volume[:, None, None] * jnp.einsum("ekl,klij->eij", G, T)
+
+
+def element_elasticity(grad_lambda, volume, D, deg: int):
+    """[E, n*dim, n*dim] elasticity stiffness (vector-valued DOFs,
+    interleaved component-fastest like the reference:
+    dof = node * dim + component).
+
+    D: [fl, fl] or [E, fl, fl] flattened elasticity tensor(s).
+    Replaces ``perElementStiffness`` (``LinearElasticity.hh:165-232``)."""
+    K = grad_lambda.shape[-2] - 1
+    dim = grad_lambda.shape[-1]
+    n = gradgrad_table(K, deg).shape[-1]
+    T = jnp.asarray(gradgrad_table(K, deg), dtype=grad_lambda.dtype)
+    C = to_full(jnp.asarray(D, dtype=grad_lambda.dtype))  # [..., d,d,d,d]
+    if C.ndim == 4:
+        H = jnp.einsum("eka,elb,cafb->eklcf", grad_lambda, grad_lambda, C)
+    else:
+        H = jnp.einsum("eka,elb,ecafb->eklcf", grad_lambda, grad_lambda, C)
+    Ke = jnp.einsum("klij,eklcf->eicjf", T, H)
+    Ke = volume[:, None, None, None, None] * Ke
+    return Ke.reshape(-1, n * dim, n * dim)
+
+
+def element_strain_matrix(grad_lambda, deg: int, quad_points):
+    """[E, Q, fl, n, dim] operator mapping nodal displacements u[e, n, dim]
+    to flattened strains at the given barycentric quadrature/eval points:
+    strain_flat[e, q] = einsum('eqanc,enc->eqa', B, u).
+
+    strain = sym(grad u); raw Voigt components (no engineering doubling)."""
+    from ..fem.flattening import flat_rows_cols
+
+    K = grad_lambda.shape[-2] - 1
+    dim = grad_lambda.shape[-1]
+    dN = sf.grad_shape_np(K, deg, np.asarray(quad_points))  # [Q, n, K+1]
+    dN = jnp.asarray(dN, dtype=grad_lambda.dtype)
+    # spatial gradient of each shape fn at each point: [E, Q, n, dim]
+    gp = jnp.einsum("qnk,ekd->eqnd", dN, grad_lambda)
+    r, c = flat_rows_cols(dim)
+    E_, Q, n, _ = gp.shape
+    B = jnp.zeros((E_, Q, len(r), n, dim), dtype=gp.dtype)
+    for a, (i, j) in enumerate(zip(r, c)):
+        # strain_ij = 0.5 (du_i/dx_j + du_j/dx_i)
+        B = B.at[:, :, a, :, i].add(0.5 * gp[..., j])
+        B = B.at[:, :, a, :, j].add(0.5 * gp[..., i])
+    return B
