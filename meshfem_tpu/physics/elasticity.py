@@ -1,0 +1,346 @@
+"""Linear elasticity simulator — the flagship module.
+
+Parity with reference ``LinearElasticity.hh`` (``Simulator``,
+``LinearElasticity.hh:435-1660``), redesigned TPU-first:
+
+* element stiffness = constant reference tensor x batched einsum
+  (``ops/element_matrices.element_elasticity`` replaces the
+  ``perElementStiffness`` loop nest, ``LinearElasticity.hh:165-232``);
+* assembly is matrix-free element-by-element apply + deterministic
+  segment_sum (replaces TBB COO assembly, ``LinearElasticity.hh:1408-1466``);
+* Dirichlet / periodic constraints by DOF-map gather + mask projection
+  (replaces ``SPSDSystem`` Lagrange rows / ``fixVariables``);
+* solve = Jacobi-preconditioned CG with f64 reductions, wrapped in
+  ``lax.custom_linear_solve`` for implicit differentiation.
+
+DOF layout: ``u[node, component]`` arrays; an optional ``dof_map [N] -> Nd``
+identifies nodes (periodic conditions, ``PeriodicCondition``
+``BoundaryConditions.hh:452-608``); reduced DOF vectors have shape [Nd, dim].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.femmesh import FEMMesh
+from ..fem import shape_functions as sf, quadrature
+from ..fem import elasticity_tensor as et
+from ..fem.flattening import flat_len, shear_doubler
+from ..ops import element_matrices as em
+from ..sparse import assembly
+from ..solvers import cg as cg_mod
+from . import boundary_conditions as bc_mod
+from .materials import Material, MaterialField
+
+
+def von_mises(stress_flat, dim: int):
+    """Von Mises stress from flattened stress [..., fl]
+    (``VonMises.hh``; 2D uses the plane-stress formula)."""
+    s = stress_flat
+    if dim == 2:
+        return jnp.sqrt(jnp.maximum(
+            s[..., 0] ** 2 - s[..., 0] * s[..., 1] + s[..., 1] ** 2
+            + 3.0 * s[..., 2] ** 2, 0.0))
+    sxx, syy, szz, syz, sxz, sxy = (s[..., i] for i in range(6))
+    return jnp.sqrt(jnp.maximum(
+        0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2 + (szz - sxx) ** 2)
+        + 3.0 * (sxy ** 2 + syz ** 2 + sxz ** 2), 0.0))
+
+
+class ElasticitySimulator:
+    """Static linear elasticity on a FEMMesh."""
+
+    def __init__(self, mesh: FEMMesh, material, dof_map=None,
+                 node_positions=None):
+        if mesh.dim != mesh.K:
+            raise ValueError("elasticity requires embedding dim == K")
+        self.mesh = mesh
+        self.dim = mesh.dim
+        if isinstance(material, Material):
+            self.D = material.D
+        elif isinstance(material, MaterialField):
+            self.D = material.D
+        else:
+            self.D = jnp.asarray(material)
+        g = mesh.geometry(node_positions)
+        self.geom = g
+        if jnp.any(g.volume <= 0):
+            raise ValueError("mesh has non-positive element volumes "
+                             "(reference rejects these too)")
+        self.Ke = em.element_elasticity(g.grad_lambda, g.volume, self.D,
+                                        mesh.degree)
+
+        # DOF identification (identity unless periodic).
+        if dof_map is None:
+            self.dof_map = np.arange(mesh.num_nodes)
+            self.num_dofs = mesh.num_nodes
+        else:
+            self.dof_map = np.asarray(dof_map)
+            self.num_dofs = int(self.dof_map.max()) + 1
+        self.elem_dofs = jnp.asarray(self.dof_map[mesh.elem_nodes])
+
+        # Boundary condition state.
+        d = self.dim
+        self.dirichlet_mask = np.zeros((self.num_dofs, d), dtype=bool)
+        self.dirichlet_values = np.zeros((self.num_dofs, d))
+        self.neumann_load = jnp.zeros((self.num_dofs, d),
+                                      dtype=self.Ke.dtype)
+        self.no_rigid_motion = False
+        self._region_nodes: list = []   # per force/traction region, for reports
+
+    # ------------------------------------------------------------------
+    # Operator
+    # ------------------------------------------------------------------
+    def apply_K(self, u):
+        """A @ u for u [Nd, dim]."""
+        return assembly.ebe_apply_vector(self.Ke, self.elem_dofs, u,
+                                         self.num_dofs)
+
+    def K_diagonal(self):
+        return assembly.ebe_diagonal(self.Ke, self.elem_dofs, self.num_dofs,
+                                     d=self.dim)
+
+    def to_scipy(self):
+        return assembly.assemble_scipy(np.asarray(self.Ke),
+                                       np.asarray(self.elem_dofs),
+                                       self.num_dofs, d=self.dim)
+
+    # ------------------------------------------------------------------
+    # Boundary conditions (reference applyBoundaryConditions,
+    # LinearElasticity.hh:881-1027)
+    # ------------------------------------------------------------------
+    def apply_boundary_conditions(self, conds: bc_mod.BoundaryConditions):
+        mesh = self.mesh
+        env = bc_mod.expression_env(mesh)
+        self.no_rigid_motion |= conds.no_rigid_motion
+        load = np.zeros((self.num_dofs, self.dim))
+        for region in conds.regions:
+            if region.type in ("dirichlet", "target"):
+                nodes = bc_mod.match_boundary_nodes(mesh, region)
+                if len(nodes) == 0:
+                    raise ValueError(f"BC region matched no nodes: {region}")
+                if region.type == "target":
+                    continue  # targets are objectives, not constraints
+                vals = region.eval_value(mesh.node_positions[nodes], env)
+                comps = region.component_mask.components(self.dim)
+                dofs = self.dof_map[nodes]
+                for ci, c in enumerate(comps):
+                    col = vals[:, c] if vals.shape[1] == self.dim else vals[:, ci]
+                    conflict = (self.dirichlet_mask[dofs, c]
+                                & (self.dirichlet_values[dofs, c] != col))
+                    if conflict.any():
+                        raise ValueError("conflicting Dirichlet constraints "
+                                         "(reference detects these too)")
+                    self.dirichlet_mask[dofs, c] = True
+                    self.dirichlet_values[dofs, c] = col
+            elif region.type in ("traction", "force", "pressure"):
+                belems = bc_mod.match_boundary_elements(mesh, region)
+                if len(belems) == 0:
+                    raise ValueError(f"BC region matched no boundary "
+                                     f"elements: {region}")
+                load += np.asarray(self._neumann_region_load(
+                    region, belems, env))
+            elif region.type == "delta_force":
+                nodes = bc_mod.match_boundary_nodes(mesh, region)
+                vals = region.eval_value(mesh.node_positions[nodes], env)
+                np.add.at(load, self.dof_map[nodes], vals)
+            else:
+                raise ValueError(f"unsupported BC type {region.type!r}")
+        self.neumann_load = self.neumann_load + jnp.asarray(load)
+
+    def _neumann_region_load(self, region, belems, env):
+        """Consistent nodal load for constant-per-element tractions."""
+        mesh = self.mesh
+        centers = mesh.V[mesh.bdry_elems[belems]].mean(axis=1)
+        bvol = np.asarray(self.geom.bdry_volume)[belems]
+        if region.type == "pressure":
+            p = np.asarray(bc_mod.evaluate(region.value[0], centers, env))
+            n = np.asarray(self.geom.bdry_normal)[belems]
+            traction = -p[:, None] * n
+        else:
+            traction = region.eval_value(centers, env)   # [B, dim]
+            if region.type == "force":
+                # Total force divided by region area -> uniform traction
+                # (BoundaryConditions.hh:179-181).
+                traction = traction / bvol.sum()
+        w = sf.integrated_shape_np(mesh.K - 1, mesh.degree)  # [nb]
+        fe = traction[:, None, :] * (bvol[:, None] * w[None, :])[:, :, None]
+        nodes = self.dof_map[mesh.bdry_elem_nodes[belems]]
+        load = np.zeros((self.num_dofs, self.dim))
+        np.add.at(load, nodes.reshape(-1), fe.reshape(-1, self.dim))
+        return load
+
+    def fix_nodes(self, nodes, values=0.0, components=None):
+        """Programmatic Dirichlet (node indices, per-node values)."""
+        nodes = np.asarray(nodes)
+        values = np.broadcast_to(np.asarray(values, dtype=np.float64),
+                                 (len(nodes), self.dim))
+        comps = np.arange(self.dim) if components is None \
+            else np.asarray(components)
+        dofs = self.dof_map[nodes]
+        for c in comps:
+            self.dirichlet_mask[dofs, c] = True
+            self.dirichlet_values[dofs, c] = values[:, c]
+
+    def clear_boundary_conditions(self):
+        self.dirichlet_mask[:] = False
+        self.dirichlet_values[:] = 0.0
+        self.neumann_load = jnp.zeros_like(self.neumann_load)
+        self.no_rigid_motion = False
+
+    # ------------------------------------------------------------------
+    # Rigid motion projection (replaces constraint rows R,
+    # LinearElasticity.hh:1522-1593)
+    # ------------------------------------------------------------------
+    def rigid_modes(self, translations_only: bool = False) -> np.ndarray:
+        """[Nd * dim, n_modes] rigid translation/rotation basis."""
+        d = self.dim
+        Nd = self.num_dofs
+        # Representative position of each dof (any node mapping to it;
+        # rotations are only meaningful for identity dof maps anyway).
+        pos = np.zeros((Nd, d))
+        pos[self.dof_map] = self.mesh.node_positions[:, :d]
+        modes = []
+        for c in range(d):
+            m = np.zeros((Nd, d))
+            m[:, c] = 1.0
+            modes.append(m.ravel())
+        if not translations_only:
+            if d == 2:
+                m = np.zeros((Nd, d))
+                m[:, 0], m[:, 1] = -pos[:, 1], pos[:, 0]
+                modes.append(m.ravel())
+            else:
+                for axis in range(3):
+                    m = np.zeros((Nd, d))
+                    a, b = (axis + 1) % 3, (axis + 2) % 3
+                    m[:, a] = -pos[:, b]
+                    m[:, b] = pos[:, a]
+                    modes.append(m.ravel())
+        return np.stack(modes, axis=1)
+
+    # ------------------------------------------------------------------
+    # Solve
+    # ------------------------------------------------------------------
+    def solve(self, extra_load=None, tol: float = 1e-12,
+              maxiter: int = 50000, x0=None):
+        """Returns (u [N, dim] nodal displacements, CGResult).
+
+        The solve runs in reduced DOF space; the result is expanded through
+        the dof map (``dofToNodeField``, ``LinearElasticity.hh:665``)."""
+        d = self.dim
+        b = self.neumann_load
+        if extra_load is not None:
+            b = b + jnp.asarray(extra_load)
+
+        fixed = jnp.asarray(self.dirichlet_mask)
+        vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
+        free = ~fixed
+
+        projectors = [cg_mod.mask_projector(free)]
+        if self.no_rigid_motion:
+            Z = self.rigid_modes()
+            proj_rm = cg_mod.nullspace_projector(jnp.asarray(Z))
+            projectors.append(lambda v: proj_rm(v.reshape(-1)).reshape(v.shape))
+
+        def project(v):
+            for p in projectors:
+                v = p(v)
+            return v
+
+        diag = self.K_diagonal()
+        safe = jnp.where(diag > 0, diag, 1.0)
+        M_inv = lambda r: r / safe
+
+        u_d = jnp.where(fixed, vals, 0.0)
+        rhs = b - self.apply_K(u_d)
+        res = cg_mod.cg(self.apply_K, rhs, x0=x0, M_inv=M_inv,
+                        project=project, tol=tol, maxiter=maxiter)
+        u_dof = res.x + u_d
+        u = u_dof[jnp.asarray(self.dof_map)]
+        return u, res
+
+    # ------------------------------------------------------------------
+    # Loads for homogenization (LinearElasticity.hh:135-162, 552)
+    # ------------------------------------------------------------------
+    def constant_strain_load(self, e0_flat):
+        """l[(i,c)] = int strain(phi_i e_c) : C : e0 dV  — pass -e0 to get the
+        reference's ``constantStrainLoad(-e)`` cell-problem RHS."""
+        sigma0 = et.double_contract(self.D, jnp.asarray(e0_flat,
+                                                        dtype=self.Ke.dtype))
+        g = self.geom
+        S = jnp.asarray(em.shape_grad_table(self.mesh.K, self.mesh.degree),
+                        dtype=self.Ke.dtype)
+        int_grad = jnp.einsum("kn,ekd->end", S, g.grad_lambda) \
+            * g.volume[:, None, None]
+        sig_full = _flat_to_sym_batch(sigma0, self.dim)
+        if sig_full.ndim == 2:
+            fe = jnp.einsum("end,cd->enc", int_grad, sig_full)
+        else:
+            fe = jnp.einsum("end,ecd->enc", int_grad, sig_full)
+        E, n = fe.shape[0], fe.shape[1]
+        return jax.ops.segment_sum(fe.reshape(E * n, self.dim),
+                                   self.elem_dofs.reshape(-1),
+                                   num_segments=self.num_dofs)
+
+    # ------------------------------------------------------------------
+    # Postprocessing (LinearElasticity.hh:100-124, 512-549)
+    # ------------------------------------------------------------------
+    def strain_at(self, u, points=None):
+        """[E, Q, fl] strains of nodal displacement u [N, dim] at barycentric
+        eval points (default: element vertices — the degree-(deg-1)
+        interpolant's nodes for P2, constant value for P1)."""
+        mesh = self.mesh
+        if points is None:
+            points = np.eye(mesh.K + 1) if mesh.degree == 2 else \
+                np.full((1, mesh.K + 1), 1.0 / (mesh.K + 1))
+        B = em.element_strain_matrix(self.geom.grad_lambda, mesh.degree,
+                                     np.atleast_2d(points))
+        ue = u[jnp.asarray(mesh.elem_nodes)]
+        return jnp.einsum("eqanc,enc->eqa", B, ue)
+
+    def average_strain_field(self, u):
+        """[E, fl] element-average strains (centroid value: strains are
+        degree <= 1 per element)."""
+        mesh = self.mesh
+        centroid = np.full((1, mesh.K + 1), 1.0 / (mesh.K + 1))
+        return self.strain_at(u, centroid)[:, 0, :]
+
+    def average_stress_field(self, u):
+        return et.double_contract(self.D, self.average_strain_field(u))
+
+    def stress_at(self, u, points=None):
+        return et.double_contract(
+            self.D if self.D.ndim == 2 else self.D[:, None],
+            self.strain_at(u, points))
+
+    def von_mises_field(self, u):
+        return von_mises(self.average_stress_field(u), self.dim)
+
+    def average_strain(self, u):
+        """Volume-averaged strain [fl]."""
+        vol = self.geom.volume
+        es = self.average_strain_field(u)
+        return jnp.einsum("e,ea->a", vol, es) / jnp.sum(vol)
+
+    def average_stress(self, u):
+        vol = self.geom.volume
+        ss = self.average_stress_field(u)
+        return jnp.einsum("e,ea->a", vol, ss) / jnp.sum(vol)
+
+    def strain_energy(self, u):
+        """1/2 u^T K u."""
+        ud = jnp.zeros((self.num_dofs, self.dim), dtype=self.Ke.dtype)
+        ud = ud.at[jnp.asarray(self.dof_map)].set(u)  # node field -> dof field
+        return 0.5 * jnp.vdot(ud, self.apply_K(ud))
+
+
+def _flat_to_sym_batch(v, dim):
+    from ..fem.flattening import flat_to_sym
+
+    return flat_to_sym(v, dim)
