@@ -1,0 +1,288 @@
+"""Periodic homogenization of effective elasticity tensors.
+
+Parity with reference ``PeriodicHomogenization.hh`` and
+``OrthotropicHomogenization.hh``:
+
+* cell problems: for each canonical macroscopic strain e^ij, solve
+      -div C : [strain(w^ij) + e^ij] = 0,  w^ij cell-periodic
+  (``solveCellProblems``, ``PeriodicHomogenization.hh:34-54``) — here via a
+  periodic DOF map + translation projection instead of constraint rows;
+* homogenized tensor, stress form (``:72-128``) and boundary/displacement
+  form (``:146-186``);
+* macroscopic-to-microscopic strain tensors (``:195``), strain/displacement
+  probes (python binding ``periodic_homogenization.cc:159-163``);
+* orthotropic base cell variant: symmetry-plane normal pinning instead of
+  periodicity, 1 stretch + N(N-1)/2 shear systems, full-tensor
+  reconstruction by reflection signs (``OrthotropicHomogenization.hh``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.femmesh import FEMMesh
+from ..mesh import periodic as per
+from ..mesh.geometry import BBox
+from ..fem import elasticity_tensor as et
+from ..fem import shape_functions as sf
+from ..fem.flattening import flat_len, flat_rows_cols, shear_doubler
+from ..physics.elasticity import ElasticitySimulator
+from ..solvers import cg as cg_mod
+
+
+@dataclasses.dataclass
+class HomogenizationResult:
+    """Mirrors the python binding's ``HomogenizationResult``
+    (``periodic_homogenization.cc:22-31``)."""
+
+    Ch: jnp.ndarray            # [fl, fl] homogenized tensor (D matrix)
+    w: jnp.ndarray             # [fl, N, dim] fluctuation displacements
+    strain_w: jnp.ndarray      # [fl, E, fl] average fluctuation strains
+    cg_iters: list
+
+    @property
+    def tensor(self) -> et.ElasticityTensor:
+        return et.ElasticityTensor(self.Ch)
+
+
+def canonical_strain(dim: int, i: int, dtype=jnp.float64):
+    """SMatrix::CanonicalBasis(i) (``SymmetricMatrix.hh:407-413``): the
+    symmetrized basis e^(kl) = 1/2 (e_k x e_l + e_l x e_k) — raw flat
+    component 1 on diagonal slots, 0.5 on shear slots."""
+    e = jnp.zeros(flat_len(dim), dtype=dtype)
+    return e.at[i].set(1.0 if i < dim else 0.5)
+
+
+def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
+                        maxiter: int = 100000):
+    """Solve the fl(N) cell problems on a periodic simulator.
+
+    ``sim`` must have been built with a periodic dof_map (see
+    :func:`periodic_simulator`).  Returns (w [fl, N, dim], iters list)."""
+    dim = sim.dim
+    fl = flat_len(dim)
+    # Translation-invariance: project translations out of the periodic
+    # system (replaces the pin / no-rigid-translation constraint).
+    Z = sim.rigid_modes(translations_only=True)
+    proj_rm = cg_mod.nullspace_projector(jnp.asarray(Z))
+    project = lambda v: proj_rm(v.reshape(-1)).reshape(v.shape)
+    diag = sim.K_diagonal()
+    safe = jnp.where(diag > 0, diag, 1.0)
+    M_inv = lambda r: r / safe
+
+    ws, iters = [], []
+    for i in range(fl):
+        rhs = sim.constant_strain_load(-canonical_strain(dim, i,
+                                                         sim.Ke.dtype))
+        res = cg_mod.cg(sim.apply_K, rhs, M_inv=M_inv, project=project,
+                        tol=tol, maxiter=maxiter)
+        ws.append(res.x[jnp.asarray(sim.dof_map)])
+        iters.append(int(res.iters))
+    return jnp.stack(ws), iters
+
+
+def periodic_simulator(mesh: FEMMesh, material, cell: BBox | None = None,
+                       eps: float = 1e-7,
+                       permit_mismatch: bool = False) -> ElasticitySimulator:
+    """Build an ElasticitySimulator with periodic DOF identification
+    (replaces ``applyPeriodicConditions``, ``LinearElasticity.hh:845``)."""
+    dof_map, num_dofs, _ = per.match_periodic_nodes(
+        mesh.node_positions, cell or mesh.bbox(), eps,
+        permit_mismatch=permit_mismatch)
+    return ElasticitySimulator(mesh, material, dof_map=dof_map)
+
+
+def homogenized_tensor_stress_form(sim: ElasticitySimulator, w,
+                                   base_cell_volume: float | None = None):
+    """Eh row i = <[C : strain(w_i)] + C row i> averaged over the cell
+    (``homogenizedElasticityTensor``, ``PeriodicHomogenization.hh:72-128``)."""
+    mesh = sim.mesh
+    if base_cell_volume is None:
+        base_cell_volume = mesh.bbox().volume()
+    vol = sim.geom.volume
+    rows = []
+    for i in range(w.shape[0]):
+        stress = sim.average_stress_field(w[i])          # [E, fl]
+        rows.append(jnp.einsum("e,ea->a", vol, stress))
+    Eh = jnp.stack(rows)                                  # [fl, fl]
+    if sim.D.ndim == 2:
+        Eh = Eh + sim.D * jnp.sum(vol)
+    else:
+        Eh = Eh + jnp.einsum("e,eab->ab", vol, sim.D)
+    return Eh / base_cell_volume
+
+
+def homogenized_tensor_displacement_form(sim: ElasticitySimulator, w,
+                                         base_cell_volume: float | None = None):
+    """Boundary-integral form (constant base material,
+    ``homogenizedElasticityTensorDisplacementForm``,
+    ``PeriodicHomogenization.hh:146-186``):
+    Eh row i = C : nw^i + C * volFrac, nw^i = 1/2 int_dw (w x n + n x w)."""
+    mesh = sim.mesh
+    if base_cell_volume is None:
+        base_cell_volume = mesh.bbox().volume()
+    if sim.D.ndim != 2:
+        raise ValueError("displacement form requires a constant base material")
+    normals = sim.geom.bdry_normal                        # [B, dim]
+    bvol = sim.geom.bdry_volume                           # [B]
+    wgt = jnp.asarray(sf.integrated_shape_np(mesh.K - 1, mesh.degree),
+                      dtype=bvol.dtype)                   # [nb]
+    benodes = jnp.asarray(mesh.bdry_elem_nodes)           # [B, nb]
+    r, c = flat_rows_cols(sim.dim)
+    rows = []
+    for i in range(w.shape[0]):
+        wb = w[i][benodes]                                # [B, nb, dim]
+        w_int = jnp.einsum("n,bnd->bd", wgt, wb) * bvol[:, None]
+        nw = 0.5 * (jnp.einsum("bp,bq->bpq", w_int, normals)
+                    + jnp.einsum("bq,bp->bpq", w_int, normals))
+        nw_flat = jnp.sum(nw[:, r, c], axis=0)            # [fl]
+        rows.append(et.double_contract(sim.D, nw_flat))
+    Eh = jnp.stack(rows)
+    Eh = Eh + sim.D * (jnp.sum(sim.geom.volume) / 1.0)
+    return Eh / base_cell_volume
+
+
+def macro_to_micro_strain(sim: ElasticitySimulator, w):
+    """Per-element G tensors (minor- but not major-symmetric):
+    G[e] row i = average strain of (w_i + e^i x) over element e
+    (``macroStrainToMicroStrainTensors``)."""
+    fl = w.shape[0]
+    dim = sim.dim
+    rows = []
+    for i in range(fl):
+        es = sim.average_strain_field(w[i])
+        es = es.at[:, i].add(1.0 if i < dim else 0.5)
+        rows.append(es)
+    return jnp.stack(rows, axis=1)                        # [E, fl, fl]
+
+
+def probe(sim: ElasticitySimulator, w, macro_strain_flat):
+    """(u, strain) under a macroscopic strain: u = sum_i e_i w_i (+ macro
+    part handled by the caller), strain field includes the macro strain
+    (python binding ``probe``, ``periodic_homogenization.cc:159-163``)."""
+    e = jnp.asarray(macro_strain_flat)
+    # Decompose e in the canonical basis: shear basis elements carry 1/2, so
+    # their coefficients are the shear-doubled raw components.
+    coef = jnp.asarray(shear_doubler(sim.dim), dtype=e.dtype) * e
+    u = jnp.einsum("i,ind->nd", coef, w)
+    strain = sim.average_strain_field(u) + e[None, :]
+    return u, strain
+
+
+def homogenize(mesh: FEMMesh, material, orthotropic_cell: bool = False,
+               tol: float = 1e-11, center_fluctuations: bool = True,
+               base_cell_volume: float | None = None) -> HomogenizationResult:
+    """One-call homogenization (python binding ``homogenize``,
+    ``periodic_homogenization.cc:37-90``)."""
+    if orthotropic_cell:
+        return homogenize_orthotropic(mesh, material, tol=tol,
+                                      base_cell_volume=base_cell_volume)
+    sim = periodic_simulator(mesh, material)
+    w, iters = solve_cell_problems(sim, tol=tol)
+    if center_fluctuations:
+        w = w - jnp.mean(w, axis=1, keepdims=True)
+    Ch = homogenized_tensor_stress_form(sim, w, base_cell_volume)
+    strain_w = jnp.stack([sim.average_strain_field(w[i])
+                          for i in range(w.shape[0])])
+    return HomogenizationResult(Ch, w, strain_w, iters)
+
+
+# ---------------------------------------------------------------------------
+# Orthotropic base cell (OrthotropicHomogenization.hh)
+# ---------------------------------------------------------------------------
+
+def _ortho_fixed_masks(mesh: FEMMesh, eps: float = 1e-7):
+    """Per-probe Dirichlet component masks on the symmetry planes.
+
+    Returns (stretch_mask [N, dim] bool, shear_masks list of [N, dim]).
+    Stretch probes w^ii: fix component c on faces with normal e_c.
+    Shear probe s (plane ij): 3D fixes component s on every face, plus the
+    third component on perpendicular faces; 2D fixes the tangential
+    component (``OrthotropicHomogenization.hh:84-140``)."""
+    dim = mesh.dim
+    fm = per.face_membership(mesh.node_positions, mesh.bbox(), eps)
+    on_face = fm.on_min | fm.on_max                      # [N, dim]
+    stretch = np.zeros((mesh.num_nodes, dim), dtype=bool)
+    for c in range(dim):
+        stretch[on_face[:, c], c] = True
+    shear_masks = []
+    n_shear = flat_len(dim) - dim
+    for s in range(n_shear):
+        m = np.zeros((mesh.num_nodes, dim), dtype=bool)
+        for c in range(dim):
+            face_nodes = on_face[:, c]
+            if dim == 3:
+                m[face_nodes, s] = True
+                if c != s:
+                    m[face_nodes, 3 - (c + s)] = True
+            else:
+                m[face_nodes, 1 - c] = True
+        shear_masks.append(m)
+    return stretch, shear_masks
+
+
+def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
+                           base_cell_volume: float | None = None
+                           ) -> HomogenizationResult:
+    """Homogenize using an orthotropic base cell (1/4 or 1/8 of the period
+    cell): per-face normal pinning replaces periodicity, and the full-cell
+    tensor follows from reflection-sign reconstruction."""
+    dim = mesh.dim
+    fl = flat_len(dim)
+    sim = ElasticitySimulator(mesh, material)
+    stretch_mask, shear_masks = _ortho_fixed_masks(mesh)
+    if base_cell_volume is None:
+        # The ortho cell is the full mesh bbox here; reflection
+        # reconstruction divides by 2^N internally via sign averaging, so the
+        # ortho-cell integrals are normalized by the ortho cell volume.
+        base_cell_volume = mesh.bbox().volume()
+
+    diag = sim.K_diagonal()
+    safe = jnp.where(diag > 0, diag, 1.0)
+    M_inv = lambda r: r / safe
+
+    ws, iters = [], []
+    for i in range(fl):
+        mask = stretch_mask if i < dim else shear_masks[i - dim]
+        free = jnp.asarray(~mask)
+        project = cg_mod.mask_projector(free)
+        rhs = sim.constant_strain_load(-canonical_strain(dim, i,
+                                                         sim.Ke.dtype))
+        res = cg_mod.cg(sim.apply_K, rhs, M_inv=M_inv, project=project,
+                        tol=tol, maxiter=100000)
+        ws.append(res.x)
+        iters.append(int(res.iters))
+    w = jnp.stack(ws)
+
+    EhO = homogenized_tensor_stress_form(sim, w, base_cell_volume)
+    Ch = reconstruct_from_ortho_cell(EhO, dim)
+    strain_w = jnp.stack([sim.average_strain_field(w[i]) for i in range(fl)])
+    return HomogenizationResult(Ch, w, strain_w, iters)
+
+
+def reconstruct_from_ortho_cell(EhO, dim: int):
+    """Reflection-sign reconstruction
+    (``homogenizedTensorFromOrthoCellQuantity``): averages sign-weighted
+    copies over the 2^N reflections, zeroing non-orthotropic couplings."""
+    fl = flat_len(dim)
+    n_refl = 1 << dim
+
+    def sign(ij, r):
+        if ij < dim:
+            return 1.0
+        bits = [(r >> b) & 1 for b in range(dim)]
+        if dim == 3:
+            bits[ij - dim] = 0
+        return -1.0 if sum(bits) == 1 else 1.0
+
+    W = np.zeros((fl, fl))
+    for r in range(n_refl):
+        for kl in range(fl):
+            for ij in range(fl):
+                W[ij, kl] += sign(ij, r) * sign(kl, r)
+    W /= n_refl
+    return EhO * jnp.asarray(W, dtype=EhO.dtype)
