@@ -23,23 +23,25 @@ from ..sparse import assembly
 
 @dataclasses.dataclass
 class EBEOperator:
-    """Element-by-element symmetric operator A = scatter(Ke gather(.))."""
+    """Element-by-element symmetric operator A = scatter(Ke gather(.)),
+    with the gather-pyramid scatter plan (sparse/scatter.py)."""
 
     Ke: jnp.ndarray          # [E, n, n] or [E, n*d, n*d]
     elem_nodes: jnp.ndarray  # [E, n]
     num_nodes: int
     vector_dim: int = 1
 
+    def __post_init__(self):
+        from ..sparse.ebe import EBEKernel
+
+        self._kernel = EBEKernel.build(self.Ke, self.elem_nodes,
+                                       self.num_nodes, self.vector_dim)
+
     def __call__(self, u):
-        if self.vector_dim == 1:
-            return assembly.ebe_apply(self.Ke, self.elem_nodes, u,
-                                      self.num_nodes)
-        return assembly.ebe_apply_vector(self.Ke, self.elem_nodes, u,
-                                         self.num_nodes)
+        return self._kernel(u)
 
     def diagonal(self):
-        return assembly.ebe_diagonal(self.Ke, self.elem_nodes, self.num_nodes,
-                                     d=self.vector_dim)
+        return self._kernel.diagonal()
 
     def to_scipy(self):
         return assembly.assemble_scipy(np.asarray(self.Ke),

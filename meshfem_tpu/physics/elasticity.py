@@ -83,6 +83,10 @@ class ElasticitySimulator:
             self.dof_map = np.asarray(dof_map)
             self.num_dofs = int(self.dof_map.max()) + 1
         self.elem_dofs = jnp.asarray(self.dof_map[mesh.elem_nodes])
+        from ..sparse.ebe import EBEKernel
+
+        self._kernel = EBEKernel.build(self.Ke, self.elem_dofs,
+                                       self.num_dofs, self.dim)
 
         # Boundary condition state.
         d = self.dim
@@ -97,13 +101,11 @@ class ElasticitySimulator:
     # Operator
     # ------------------------------------------------------------------
     def apply_K(self, u):
-        """A @ u for u [Nd, dim]."""
-        return assembly.ebe_apply_vector(self.Ke, self.elem_dofs, u,
-                                         self.num_dofs)
+        """A @ u for u [Nd, dim] (or [Nd, dim, m] multi-RHS)."""
+        return self._kernel(u)
 
     def K_diagonal(self):
-        return assembly.ebe_diagonal(self.Ke, self.elem_dofs, self.num_dofs,
-                                     d=self.dim)
+        return self._kernel.diagonal()
 
     def to_scipy(self):
         return assembly.assemble_scipy(np.asarray(self.Ke),

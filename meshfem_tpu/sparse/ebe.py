@@ -1,0 +1,75 @@
+"""Element-by-element operator with precomputed gather-pyramid scatter.
+
+The production apply path: A u = pyramid_scatter(Ke @ gather(u)).  All
+irregular memory traffic is flat gathers (measured ~2-4 ns/row on v5e,
+width-independent), so multi-RHS applies amortize it — block solves are
+nearly free relative to single vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scatter import ScatterPlan
+
+
+@dataclasses.dataclass
+class EBEKernel:
+    """Symmetric EBE operator for scalar (d=1) or vector DOFs.
+
+    Ke: [E, n*d, n*d]; elem_dofs: [E, n]; apply handles u of shape
+    [Nd] / [Nd, d] / [Nd, d, m] (multi-RHS)."""
+
+    Ke: jnp.ndarray
+    elem_dofs: jnp.ndarray
+    num_dofs: int
+    vector_dim: int
+    plan: ScatterPlan
+
+    @classmethod
+    def build(cls, Ke, elem_dofs, num_dofs: int, vector_dim: int = 1,
+              precision=None) -> "EBEKernel":
+        elem_dofs = jnp.asarray(elem_dofs)
+        plan = ScatterPlan.build(np.asarray(elem_dofs).reshape(-1), num_dofs)
+        k = cls(jnp.asarray(Ke), elem_dofs, num_dofs, vector_dim, plan)
+        k.precision = precision
+        return k
+
+    def __call__(self, u):
+        E, nd, _ = self.Ke.shape
+        n = self.elem_dofs.shape[1]
+        d = self.vector_dim
+        multi = u.ndim == (3 if d > 1 else 2)
+        if d == 1:
+            ue = u[self.elem_dofs]                      # [E, n] or [E, n, m]
+            if not multi:
+                fe = jnp.einsum("eij,ej->ei", self.Ke, ue)
+                return self.plan(fe.reshape(E * n))
+            fe = jnp.einsum("eij,ejm->eim", self.Ke, ue,
+                            precision=getattr(self, "precision", None))
+            m = u.shape[-1]
+            return self.plan(fe.reshape(E * n, m))
+        ue = u[self.elem_dofs]                          # [E, n, d(, m)]
+        if not multi:
+            fe = jnp.einsum("eij,ej->ei", self.Ke, ue.reshape(E, nd))
+            return self.plan(fe.reshape(E * n, d))
+        m = u.shape[-1]
+        ue = ue.reshape(E, nd, m)
+        fe = jnp.einsum("eij,ejm->eim", self.Ke, ue,
+                        precision=getattr(self, "precision", None))
+        return self.plan(
+            fe.reshape(E, n, d, m).reshape(E * n, d * m)).reshape(
+                self.num_dofs, d, m)
+
+    def diagonal(self):
+        E, nd, _ = self.Ke.shape
+        n = self.elem_dofs.shape[1]
+        d = self.vector_dim
+        de = jnp.diagonal(self.Ke, axis1=1, axis2=2)
+        if d == 1:
+            return self.plan(de.reshape(E * n))
+        return self.plan(de.reshape(E * n, d))
