@@ -155,11 +155,21 @@ def element_elasticity_fused(grad_lambda, volume, D, deg: int,
     K = grad_lambda.shape[-2] - 1
     dim = grad_lambda.shape[-1]
     n = gradgrad_table(K, deg).shape[-1]
+    import jax.core as _core
+
+    if isinstance(D, _core.Tracer):
+        raise TypeError(
+            "element_elasticity_fused needs a concrete material tensor; "
+            "construct D outside jit (or use the batched einsum path for "
+            "traced per-element materials)")
     D_np = np.asarray(D, dtype=np.float64)
     key = (K, deg, D_np.tobytes(), grad_lambda.dtype.name)
     M = _FUSED_CACHE.get(key)
     if M is None:
-        C_full = np.asarray(to_full(jnp.asarray(D_np)))
+        from ..fem.flattening import full_to_flat_map
+
+        f2f = full_to_flat_map(dim)
+        C_full = D_np[f2f[:, :, None, None], f2f[None, None, :, :]]
         M = _fused_elasticity_matrix(K, deg, key, C_full, grad_lambda.dtype)
         _FUSED_CACHE[key] = M
     E = grad_lambda.shape[0]
@@ -180,10 +190,18 @@ def element_elasticity(grad_lambda, volume, D, deg: int, precision=None):
     K = grad_lambda.shape[-2] - 1
     dim = grad_lambda.shape[-1]
     n = gradgrad_table(K, deg).shape[-1]
-    D = jnp.asarray(D)
+    import jax.core as _core
+
+    if not isinstance(D, _core.Tracer):
+        D = jnp.asarray(D)
     if D.ndim == 2:
-        return element_elasticity_fused(grad_lambda, volume, D, deg,
-                                        precision=precision)
+        if isinstance(D, _core.Tracer):
+            # Differentiable constant material: treat as a batch of one.
+            D = jnp.broadcast_to(D, (1,) + D.shape)
+            D = jnp.broadcast_to(D, (grad_lambda.shape[0],) + D.shape[1:])
+        else:
+            return element_elasticity_fused(grad_lambda, volume, D, deg,
+                                            precision=precision)
     T = jnp.asarray(gradgrad_table(K, deg), dtype=grad_lambda.dtype)
     C = to_full(D.astype(grad_lambda.dtype))              # [E, d,d,d,d]
     H = jnp.einsum("eka,elb,ecafb->eklcf", grad_lambda, grad_lambda, C,

@@ -74,12 +74,12 @@ def cg(
     def body(state):
         x, r, z, p, gamma, k = state
         Ap = project(A(p))
-        alpha = gamma / _dot(p, Ap)
+        alpha = (gamma / _dot(p, Ap)).astype(x.dtype)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(M_inv(r))
         gamma_new = _dot(r, z)
-        beta = gamma_new / gamma
+        beta = (gamma_new / gamma).astype(x.dtype)
         p = z + beta * p
         return (x, r, z, p, gamma_new, k + 1)
 
@@ -103,12 +103,12 @@ def cg_fixed_iters(A, b, x0=None, *, M_inv=None, project=None, iters: int = 100)
     def body(state, _):
         x, r, z, p, gamma = state
         Ap = project(A(p))
-        alpha = gamma / _dot(p, Ap)
+        alpha = (gamma / _dot(p, Ap)).astype(x.dtype)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(M_inv(r))
         gamma_new = _dot(r, z)
-        p = z + (gamma_new / gamma) * p
+        p = z + ((gamma_new / gamma).astype(x.dtype)) * p
         return (x, r, z, p, gamma_new), None
 
     (x, r, *_), _ = jax.lax.scan(body, (x0, r0, z0, z0, gamma0), None,
