@@ -1,0 +1,248 @@
+"""Mesh processing filters.
+
+Parity with reference ``filters/`` (21 filters, SURVEY §2.10): subdivide,
+extrude, reflect (periodic tiling into 2^d copies), merge duplicate
+vertices, remove dangling vertices, remove small components,
+reorient negative elements, connected components, extract boundary
+polygons/holes, quad/hex subdivision into simplices, voxels to simplices —
+all vectorized host numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fem import simplex
+
+
+def merge_duplicate_vertices(V, F, eps: float = 0.0):
+    """(``filters/merge_duplicate_vertices.hh``)."""
+    V = np.asarray(V, dtype=np.float64)
+    key = V if eps == 0 else np.round(V / max(eps, 1e-300))
+    uniq, index, inverse = np.unique(key, axis=0, return_index=True,
+                                     return_inverse=True)
+    order = np.argsort(index)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    V2 = V[index[order]]
+    F2 = rank[inverse][np.asarray(F)]
+    return V2, F2.astype(np.int64)
+
+
+def remove_dangling_vertices(V, F):
+    """(``filters/remove_dangling_vertices.hh``)."""
+    F = np.asarray(F)
+    used = np.unique(F)
+    remap = -np.ones(len(V), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return np.asarray(V)[used], remap[F]
+
+
+def reorient_negative_elements(V, F):
+    """Flip elements with negative orientation
+    (``filters/reorient_negative_elements.hh``)."""
+    V = np.asarray(V)
+    F = np.asarray(F).copy()
+    X = V[F]
+    if F.shape[1] == 3 and V.shape[1] == 2:
+        det = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+    elif F.shape[1] == 4:
+        det = np.linalg.det(X[:, 1:] - X[:, :1])
+    else:
+        return V, F
+    neg = det < 0
+    F[neg, -1], F[neg, -2] = F[neg, -2], F[neg, -1].copy()
+    return V, F
+
+
+def get_element_components(F):
+    """Connected components of elements (shared facet adjacency),
+    (``algorithms/get_element_components``)."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    F = np.asarray(F)
+    K = F.shape[1] - 1
+    # elements sharing a vertex are adjacent (coarser but adequate)
+    rows = np.repeat(np.arange(len(F)), F.shape[1])
+    cols = F.ravel()
+    M = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(len(F), F.max() + 1)).tocsr()
+    adj = M @ M.T
+    n, labels = csgraph.connected_components(adj, directed=False)
+    return n, labels
+
+
+def remove_small_components(V, F, min_elems: int | None = None):
+    """Keep the largest component (``filters/remove_small_components.hh``)."""
+    n, labels = get_element_components(F)
+    if n <= 1:
+        return np.asarray(V), np.asarray(F)
+    counts = np.bincount(labels)
+    if min_elems is None:
+        keep = labels == counts.argmax()
+    else:
+        keep = counts[labels] >= min_elems
+    return remove_dangling_vertices(V, np.asarray(F)[keep])
+
+
+def subdivide(V, F, iterations: int = 1):
+    """Uniform 1-to-4 triangle (or 1-to-8 tet) subdivision
+    (``filters/subdivide.hh``)."""
+    for _ in range(iterations):
+        V, F = _subdivide_once(np.asarray(V, dtype=np.float64),
+                               np.asarray(F))
+    return V, F
+
+
+def _subdivide_once(V, F):
+    K = F.shape[1] - 1
+    nv = len(V)
+    pairs = np.asarray(simplex.simplex_edges(K))
+    ev = np.stack([F[:, pairs[:, 0]], F[:, pairs[:, 1]]], axis=-1)
+    ev = ev.reshape(-1, 2)
+    key = np.min(ev, axis=1) * nv + np.max(ev, axis=1)
+    uniq, inverse = np.unique(key, return_inverse=True)
+    mid = 0.5 * (V[uniq // nv] + V[uniq % nv])
+    V2 = np.vstack([V, mid])
+    em = nv + inverse.reshape(len(F), -1)    # edge midpoint ids per element
+    out = []
+    if K == 2:
+        # corners: (v0, m01, m20), (v1, m12, m01), (v2, m20, m12), center
+        m01, m12, m20 = em[:, 0], em[:, 1], em[:, 2]
+        v0, v1, v2 = F[:, 0], F[:, 1], F[:, 2]
+        out = [np.stack(t, axis=1) for t in (
+            (v0, m01, m20), (m01, v1, m12), (m20, m12, v2),
+            (m01, m12, m20))]
+    else:
+        # Tet 1->8 (Freudenthal): 4 corner tets + central octahedron split.
+        v = [F[:, i] for i in range(4)]
+        # edge order per Simplex: (0,1),(1,2),(2,0),(0,3),(2,3),(1,3)
+        m = {(0, 1): em[:, 0], (1, 2): em[:, 1], (0, 2): em[:, 2],
+             (0, 3): em[:, 3], (2, 3): em[:, 4], (1, 3): em[:, 5]}
+        def M(a, b):
+            return m[(min(a, b), max(a, b))]
+        corner = [
+            (v[0], M(0, 1), M(0, 2), M(0, 3)),
+            (M(0, 1), v[1], M(1, 2), M(1, 3)),
+            (M(0, 2), M(1, 2), v[2], M(2, 3)),
+            (M(0, 3), M(1, 3), M(2, 3), v[3]),
+        ]
+        # Octahedron: vertices m01 m02 m03 m12 m13 m23, split along m02-m13.
+        a, b = M(0, 2), M(1, 3)
+        octa = [
+            (a, b, M(0, 1), M(0, 3)),
+            (a, b, M(0, 3), M(2, 3)),
+            (a, b, M(2, 3), M(1, 2)),
+            (a, b, M(1, 2), M(0, 1)),
+        ]
+        out = [np.stack(t, axis=1) for t in corner + octa]
+    F2 = np.concatenate(out, axis=0)
+    V2, F2 = reorient_negative_elements(V2, F2) if V2.shape[1] == F2.shape[1] - 1 \
+        else (V2, F2)
+    return V2, F2
+
+
+def reflect(V, F, axes=None):
+    """Reflect into 2^d copies tiling the period cell
+    (``filters/reflect.hh``): mesh in [min, max] -> reflected about each
+    max-face, producing the full cell for an orthotropic base cell."""
+    V = np.asarray(V, dtype=np.float64)
+    F = np.asarray(F)
+    dim = V.shape[1]
+    axes = range(dim) if axes is None else axes
+    for d in axes:
+        hi = V[:, d].max()
+        V_ref = V.copy()
+        V_ref[:, d] = 2 * hi - V_ref[:, d]
+        F_ref = F + len(V)
+        V = np.vstack([V, V_ref])
+        F = np.vstack([F, F_ref])
+        V, F = merge_duplicate_vertices(V, F, eps=1e-12)
+        V, F = reorient_negative_elements(V, F)
+    return V, F
+
+
+def extrude(V, F, height: float = 1.0, layers: int = 1):
+    """Extrude a 2D triangle mesh into tetrahedra
+    (``filters/extrude.hh``): each prism splits into 3 tets with a
+    diagonal convention consistent across neighbors."""
+    V = np.asarray(V, dtype=np.float64)
+    F = np.asarray(F)
+    n = len(V)
+    zs = np.linspace(0.0, height, layers + 1)
+    V3 = np.vstack([np.column_stack([V, np.full(n, z)]) for z in zs])
+    tets = []
+    for layer in range(layers):
+        lo = layer * n
+        hi = (layer + 1) * n
+        for tri in F:
+            # global-index-ordered prism split (conforming).
+            i, j, k = sorted(tri.tolist())
+            a, b, c = lo + i, lo + j, lo + k
+            d, e, f = hi + i, hi + j, hi + k
+            tets += [(a, b, c, d), (b, c, d, e), (c, d, e, f)]
+    T = np.asarray(tets, dtype=np.int64)
+    V3, T = reorient_negative_elements(V3, T)
+    return V3, T
+
+
+def voxels_to_simplices(occupancy):
+    """Boolean voxel grid [nx, ny, nz] -> tet mesh of occupied cells
+    (``filters/voxels_to_simplices.hh``)."""
+    from .generators import grid_tet
+
+    occ = np.asarray(occupancy, dtype=bool)
+    nx, ny, nz = occ.shape
+    V, T = grid_tet(nx, ny, nz, hi=(float(nx), float(ny), float(nz)))
+    centers = V[T].mean(axis=1)
+    idx = np.floor(centers).astype(int)
+    keep = occ[np.clip(idx[:, 0], 0, nx - 1),
+               np.clip(idx[:, 1], 0, ny - 1),
+               np.clip(idx[:, 2], 0, nz - 1)]
+    return remove_dangling_vertices(V, T[keep])
+
+
+def quad_subdiv(V, Q):
+    """Quads -> triangles (``filters/quad_tri_subdiv.hh``): split along the
+    shorter diagonal."""
+    V = np.asarray(V)
+    Q = np.asarray(Q)
+    d02 = ((V[Q[:, 0]] - V[Q[:, 2]]) ** 2).sum(1)
+    d13 = ((V[Q[:, 1]] - V[Q[:, 3]]) ** 2).sum(1)
+    use02 = d02 <= d13
+    tris = np.where(
+        use02[:, None, None],
+        np.stack([Q[:, [0, 1, 2]], Q[:, [0, 2, 3]]], axis=1),
+        np.stack([Q[:, [0, 1, 3]], Q[:, [1, 2, 3]]], axis=1))
+    return V, tris.reshape(-1, 3)
+
+
+def hex_tet_subdiv(V, H):
+    """Hexahedra -> 6 tets each (``filters/hex_tet_subdiv.hh``), Kuhn
+    path subdivision on the hex corner ordering (x-fastest binary)."""
+    import itertools
+
+    V = np.asarray(V)
+    H = np.asarray(H)
+    tets = []
+    for perm in itertools.permutations(range(3)):
+        path = [0]
+        cur = [0, 0, 0]
+        for ax in perm:
+            cur[ax] = 1
+            path.append(cur[0] + 2 * cur[1] + 4 * cur[2])
+        tets.append(H[:, path])
+    T = np.concatenate(tets, axis=0)
+    return reorient_negative_elements(V, T)
+
+
+def extract_boundary_polygons(mesh):
+    """Ordered boundary loops of a triangle mesh
+    (``filters/extract_polygons.hh``)."""
+    return mesh.cell.boundary_loops()
+
+
+def highlight_dangling_vertices(V, F):
+    used = np.zeros(len(V), dtype=bool)
+    used[np.unique(F)] = True
+    return np.flatnonzero(~used)
