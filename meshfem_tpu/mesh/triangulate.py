@@ -1,0 +1,94 @@
+"""PSLG triangulation (parity with reference ``Triangulate.h`` wrapping
+Shewchuk's Triangle, and ``Meshing.hh`` polygon-set triangulation).
+
+Without the Triangle C library we provide a Delaunay-based constrained
+triangulator: boundary segments are subdivided to the target length,
+interior Steiner points come from a jittered grid filtered by
+point-in-polygon (holes supported), and scipy's Delaunay triangulates the
+union; triangles whose centroid falls outside the region (or inside a
+hole) are discarded.  Adequate for the generator/meshing workflows; exact
+constrained-Delaunay parity is a host-native (C++) follow-up."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _point_in_polygon(points, poly):
+    """Ray casting: [q] bool for points [q, 2] inside polygon [p, 2]."""
+    q = np.atleast_2d(points)
+    x, y = q[:, 0], q[:, 1]
+    inside = np.zeros(len(q), dtype=bool)
+    p = np.asarray(poly)
+    j = len(p) - 1
+    for i in range(len(p)):
+        xi, yi = p[i]
+        xj, yj = p[j]
+        cond = ((yi > y) != (yj > y)) & (
+            x < (xj - xi) * (y - yi) / (yj - yi + 1e-300) + xi)
+        inside ^= cond
+        j = i
+    return inside
+
+
+def _resample_loop(loop, max_len):
+    out = []
+    n = len(loop)
+    for i in range(n):
+        a, b = loop[i], loop[(i + 1) % n]
+        seg = np.linalg.norm(b - a)
+        k = max(1, int(np.ceil(seg / max_len)))
+        for t in range(k):
+            out.append(a + (b - a) * (t / k))
+    return np.asarray(out)
+
+
+def triangulate_pslg(outline, holes=(), target_area: float = 0.01,
+                     interior_jitter: float = 0.3, seed: int = 0):
+    """Triangulate the region bounded by `outline` (CCW [n, 2]) minus the
+    hole polygons (each CW or CCW [m, 2]; a point inside each is treated
+    as a hole seed like Triangle's hole markers).
+
+    Returns (V [n, 2], F [m, 3]) with positively oriented triangles."""
+    from scipy.spatial import Delaunay
+
+    h = np.sqrt(target_area * 4 / np.sqrt(3))
+    outline = np.asarray(outline, dtype=np.float64)
+    bpts = [_resample_loop(outline, h)]
+    for hole in holes:
+        bpts.append(_resample_loop(np.asarray(hole, dtype=np.float64), h))
+    boundary = np.vstack(bpts)
+
+    lo, hi = outline.min(axis=0), outline.max(axis=0)
+    nx = max(2, int(np.ceil((hi[0] - lo[0]) / h)))
+    ny = max(2, int(np.ceil((hi[1] - lo[1]) / h)))
+    gx, gy = np.meshgrid(np.linspace(lo[0], hi[0], nx + 1),
+                         np.linspace(lo[1], hi[1], ny + 1), indexing="ij")
+    grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    rng = np.random.default_rng(seed)
+    grid = grid + interior_jitter * h * (rng.random(grid.shape) - 0.5)
+    # Keep interior points well inside the region and away from boundary.
+    keep = _point_in_polygon(grid, outline)
+    for hole in holes:
+        keep &= ~_point_in_polygon(grid, hole)
+    d2b = np.min(
+        ((grid[:, None, :] - boundary[None, :, :]) ** 2).sum(-1), axis=1) \
+        if len(boundary) * len(grid) < 4e7 else np.full(len(grid), np.inf)
+    keep &= d2b > (0.4 * h) ** 2
+    pts = np.vstack([boundary, grid[keep]])
+
+    tri = Delaunay(pts)
+    F = tri.simplices
+    cent = pts[F].mean(axis=1)
+    ok = _point_in_polygon(cent, outline)
+    for hole in holes:
+        ok &= ~_point_in_polygon(cent, hole)
+    F = F[ok]
+    # Positive orientation.
+    X = pts[F]
+    det = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+    flip = det < 0
+    F[flip, 1], F[flip, 2] = F[flip, 2], F[flip, 1].copy()
+    from .filters import remove_dangling_vertices
+
+    return remove_dangling_vertices(pts, F)

@@ -244,6 +244,15 @@ class ElasticitySimulator:
         vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
         free = ~fixed
 
+        if not self.no_rigid_motion and x0 is None:
+            # Fast path: fully jitted solve; operator arrays enter as
+            # arguments (no giant baked constants through the compiler).
+            res = cg_mod.cg_operator(
+                self._kernel, b, self.K_diagonal(),
+                free.astype(b.dtype), vals, tol=tol, maxiter=maxiter)
+            u = res.x[jnp.asarray(self.dof_map)]
+            return u, res
+
         projectors = [cg_mod.mask_projector(free)]
         if self.no_rigid_motion:
             Z = self.rigid_modes()

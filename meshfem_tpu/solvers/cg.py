@@ -116,6 +116,42 @@ def cg_fixed_iters(A, b, x0=None, *, M_inv=None, project=None, iters: int = 100)
     return CGResult(x, jnp.asarray(iters, jnp.int32), jnp.sqrt(_dot(r, r)))
 
 
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+def cg_operator(op, b, diag, free_mask, fixed_values=None, *,
+                tol: float = 1e-11, maxiter: int = 10000) -> CGResult:
+    """End-to-end jitted Dirichlet CG solve for a *pytree* operator
+    (EBEKernel etc.) — all large arrays enter as arguments, so nothing is
+    baked into the executable (critical: constant-baking pushes hundreds of
+    MB through the compile service).
+
+    op: callable pytree; b: RHS; diag: operator diagonal (Jacobi);
+    free_mask: 1.0/0.0 (or bool) mask of free DOFs; fixed_values: values on
+    the fixed DOFs (default zero)."""
+    free = free_mask.astype(b.dtype)
+    project = lambda v: v * free
+    safe = jnp.where(diag > 0, diag, 1.0)
+    M_inv = lambda r: r / safe
+    if fixed_values is not None:
+        u_d = fixed_values * (1.0 - free)
+        rhs = b - op(u_d)
+    else:
+        u_d = None
+        rhs = b
+    res = cg(op, rhs, M_inv=M_inv, project=project, tol=tol, maxiter=maxiter)
+    x = res.x if u_d is None else res.x + u_d
+    return CGResult(x, res.iters, res.resnorm)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def cg_operator_fixed(op, b, diag, free_mask, *, iters: int = 100) -> CGResult:
+    """Fixed-iteration jitted variant (benchmarks, scan-friendly)."""
+    free = free_mask.astype(b.dtype)
+    project = lambda v: v * free
+    safe = jnp.where(diag > 0, diag, 1.0)
+    return cg_fixed_iters(op, b, M_inv=lambda r: r / safe, project=project,
+                          iters=iters)
+
+
 def mask_projector(free_mask):
     """Projector zeroing fixed DOFs. free_mask broadcastable to the vector."""
     free_mask = jnp.asarray(free_mask)

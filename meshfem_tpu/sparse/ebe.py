@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from .scatter import ScatterPlan
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EBEKernel:
     """Symmetric EBE operator for scalar (d=1) or vector DOFs.
@@ -73,3 +74,14 @@ class EBEKernel:
         if d == 1:
             return self.plan(de.reshape(E * n))
         return self.plan(de.reshape(E * n, d))
+
+    def tree_flatten(self):
+        return ((self.Ke, self.elem_dofs, self.plan),
+                (self.num_dofs, self.vector_dim,
+                 getattr(self, "precision", None)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k = cls(children[0], children[1], aux[0], aux[1], children[2])
+        k.precision = aux[2]
+        return k

@@ -27,9 +27,14 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ScatterPlan:
-    """Precomputed plan to sum R contribution rows into N segment rows."""
+    """Precomputed plan to sum R contribution rows into N segment rows.
+
+    Registered as a pytree (index arrays are leaves) so plans pass through
+    jit boundaries as ARGUMENTS — closing over them would bake multi-MB
+    constants into every compiled executable."""
 
     num_rows: int           # R: number of input contribution rows
     num_segments: int       # N
@@ -77,6 +82,14 @@ class ScatterPlan:
         s2 = jnp.concatenate([partial, zero])[self.gidx2]    # [N*g2, w]
         out = s2.reshape(self.num_segments, self.g2, w).sum(axis=1)
         return out[:, 0] if squeeze else out
+
+    def tree_flatten(self):
+        return (self.gidx1, self.gidx2), (self.num_rows, self.num_segments,
+                                          self.g1, self.g2)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2], aux[3], children[0], children[1])
 
 
 _PLAN_CACHE: dict = {}
