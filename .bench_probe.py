@@ -1,3 +1,4 @@
+import faulthandler; faulthandler.dump_traceback_later(240, exit=True)
 import numpy as np, jax, jax.numpy as jnp, time
 def log(*a): print(*a, flush=True)
 from meshfem_tpu.mesh import FEMMesh, generators

@@ -174,28 +174,9 @@ def element_elasticity_fused(grad_lambda, volume, D, deg: int,
         _FUSED_CACHE[key] = M
     E = grad_lambda.shape[0]
     gdim = (K + 1) * dim
-
-    def block(args):
-        gl, vol = args
-        gg = jnp.einsum("eka,elb->ekalb", gl, gl,
-                        precision=precision).reshape(gl.shape[0],
-                                                     gdim * gdim)
-        return jnp.matmul(gg, M, precision=precision) * vol[:, None]
-
-    # Chunk into fixed-size blocks: one small-matmul compile serves any mesh
-    # size (large monolithic matmuls take minutes to compile on the remote
-    # TPU toolchain and tile worse).
-    CHUNK = 32768
-    if E <= CHUNK:
-        Ke = block((grad_lambda, volume))
-    else:
-        nchunk = -(-E // CHUNK)
-        pad = nchunk * CHUNK - E
-        gl = jnp.pad(grad_lambda, ((0, pad), (0, 0), (0, 0)))
-        vol = jnp.pad(volume, (0, pad))
-        glc = gl.reshape(nchunk, CHUNK, K + 1, dim)
-        volc = vol.reshape(nchunk, CHUNK)
-        Ke = jax.lax.map(block, (glc, volc)).reshape(nchunk * CHUNK, -1)[:E]
+    gg = jnp.einsum("eka,elb->ekalb", grad_lambda, grad_lambda,
+                    precision=precision).reshape(E, gdim * gdim)
+    Ke = jnp.matmul(gg, M, precision=precision) * volume[:, None]
     return Ke.reshape(E, n * dim, n * dim)
 
 
