@@ -83,7 +83,14 @@ class FEMMesh:
             ev = np.stack([F[:, pairs[:, 0]], F[:, pairs[:, 1]]], axis=-1)
             ev = ev.reshape(-1, 2)                        # [E*ne_loc, 2]
             key = np.min(ev, axis=1) * nv + np.max(ev, axis=1)
-            uniq, inverse = np.unique(key, return_inverse=True)
+            from ..native import unique_edges as native_unique
+
+            nat = native_unique(ev)
+            if nat is not None:
+                inverse, uniq_pairs = nat
+                uniq = uniq_pairs[:, 0] * nv + uniq_pairs[:, 1]
+            else:
+                uniq, inverse = np.unique(key, return_inverse=True)
             self.num_edges = len(uniq)
             self._edge_keys = uniq
             edge_node = nv + inverse.reshape(len(F), -1)

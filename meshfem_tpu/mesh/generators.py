@@ -39,40 +39,42 @@ def grid_tet(nx: int, ny: int, nz: int, lo=(0.0, 0.0, 0.0),
              hi=(1.0, 1.0, 1.0)):
     """Box [lo, hi] split into (nx, ny, nz) cubes, 6 positively oriented tets
     each (Kuhn / Freudenthal subdivision — conforming across cube faces).
-    Returns (V [n, 3] float64, T [m, 4] int32)."""
+    Returns (V [n, 3] float64, T [m, 4] int32).  Fully vectorized."""
+    import itertools
+
     xs = np.linspace(lo[0], hi[0], nx + 1)
     ys = np.linspace(lo[1], hi[1], ny + 1)
     zs = np.linspace(lo[2], hi[2], nz + 1)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     V = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
 
-    def vid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
+    # Corner offset of each cube-local vertex -> flat index offset.
+    def off(dx, dy, dz):
+        return (dx * (ny + 1) + dy) * (nz + 1) + dz
 
-    # Kuhn subdivision: the 6 tets are the paths from corner 000 to 111.
-    import itertools
+    # 6 Kuhn tets as corner-offset patterns (paths 000 -> 111), orientation
+    # fixed on the unit cube once (same pattern for all cubes).
+    patterns = []
+    unit = {(dx, dy, dz): np.array([dx, dy, dz], dtype=float)
+            for dx, dy, dz in itertools.product((0, 1), repeat=3)}
+    for perm in itertools.permutations(range(3)):
+        path = [(0, 0, 0)]
+        cur = [0, 0, 0]
+        for ax in perm:
+            cur[ax] = 1
+            path.append(tuple(cur))
+        pts = np.stack([unit[q] for q in path])
+        tet = list(path)
+        if np.linalg.det(pts[1:] - pts[0]) < 0:
+            tet[2], tet[3] = tet[3], tet[2]
+        patterns.append([off(*q) for q in tet])
+    patterns = np.asarray(patterns, dtype=np.int64)        # [6, 4]
 
-    tets = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                c = {}
-                for dx, dy, dz in itertools.product((0, 1), repeat=3):
-                    c[(dx, dy, dz)] = vid(i + dx, j + dy, k + dz)
-                for perm in itertools.permutations(range(3)):
-                    # Path 000 -> e_{p0} -> e_{p0}+e_{p1} -> 111.
-                    p = [(0, 0, 0)]
-                    cur = [0, 0, 0]
-                    for ax in perm:
-                        cur[ax] = 1
-                        p.append(tuple(cur))
-                    tet = [c[q] for q in p]
-                    # Ensure positive orientation.
-                    v = V[tet]
-                    if np.linalg.det(v[1:] - v[0]) < 0:
-                        tet[2], tet[3] = tet[3], tet[2]
-                    tets.append(tet)
-    return V, np.asarray(tets, dtype=np.int32)
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    base = ((ii * (ny + 1) + jj) * (nz + 1) + kk).ravel()   # [ncubes]
+    T = (base[:, None, None] + patterns[None, :, :]).reshape(-1, 4)
+    return V, T.astype(np.int32)
 
 
 def square(n: int = 8, lo=(0.0, 0.0), hi=(1.0, 1.0)):

@@ -37,6 +37,11 @@ def _match_faces(face_verts: np.ndarray):
     face_verts: [H, k] vertex indices of each half-entity.
     Returns (opposite [H] with -1 where unmatched, boundary_mask [H])."""
     H = face_verts.shape[0]
+    from ..native import match_faces as native_match
+
+    nat = native_match(face_verts)
+    if nat is not None:
+        return nat, nat < 0
     key = np.sort(face_verts, axis=1)
     order = np.lexsort(key.T[::-1])
     sk = key[order]

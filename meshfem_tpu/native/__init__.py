@@ -1,0 +1,112 @@
+"""Native C++ host-core bindings (ctypes; numpy fallbacks when the
+toolchain is unavailable).  See hostcore.cpp for what lives here and why."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libhostcore.so"
+_SRC = _DIR / "hostcore.cpp"
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=240)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("MESHFEM_TPU_NO_NATIVE") == "1":
+        return None
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    lib.match_faces.restype = ctypes.c_int
+    lib.match_faces.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.unique_edges.restype = ctypes.c_int64
+    lib.unique_edges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+    lib.build_scatter_plan.restype = None
+    lib.build_scatter_plan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.morton_codes.restype = None
+    lib.morton_codes.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def match_faces(face_verts: np.ndarray):
+    """[H, k] -> opp [H] (-1 = boundary); raises on non-manifold.
+    Returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fv = np.ascontiguousarray(face_verts, dtype=np.int64)
+    H, k = fv.shape
+    opp = np.empty(H, dtype=np.int64)
+    rc = lib.match_faces(_ptr(fv), H, k, _ptr(opp))
+    if rc != 0:
+        raise ValueError("non-manifold: face shared by > 2 elements")
+    return opp
+
+
+def unique_edges(pairs: np.ndarray):
+    """[M, 2] -> (edge_id [M], unique_pairs [nu, 2]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pairs, dtype=np.int64)
+    M = len(p)
+    edge_id = np.empty(M, dtype=np.int64)
+    buf = np.empty((M, 2), dtype=np.int64)
+    nu = lib.unique_edges(_ptr(p), M, _ptr(edge_id), _ptr(buf))
+    return edge_id, buf[:nu].copy()
+
+
+def build_scatter_plan(ids: np.ndarray, num_segments: int, g1: int = 8):
+    """-> (gidx1 [P1] int32, gidx2 [N*g2] int32, g2) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids64 = np.ascontiguousarray(ids, dtype=np.int64)
+    sizes = np.zeros(3, dtype=np.int64)
+    lib.build_scatter_plan(_ptr(ids64), len(ids64), num_segments, g1,
+                           _ptr(sizes), None, None)
+    P1, g2, NG = (int(x) for x in sizes)
+    gidx1 = np.empty(P1, dtype=np.int32)
+    gidx2 = np.empty(num_segments * g2, dtype=np.int32)
+    lib.build_scatter_plan(_ptr(ids64), len(ids64), num_segments, g1,
+                           _ptr(sizes), _ptr(gidx1), _ptr(gidx2))
+    return gidx1, gidx2, g2

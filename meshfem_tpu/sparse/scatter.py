@@ -47,6 +47,13 @@ class ScatterPlan:
     def build(cls, ids, num_segments: int, g1: int = 8) -> "ScatterPlan":
         ids = np.asarray(ids).reshape(-1)
         R = len(ids)
+        from ..native import build_scatter_plan as native_plan
+
+        nat = native_plan(ids, num_segments, g1)
+        if nat is not None:
+            gidx1, gidx2, g2 = nat
+            return cls(R, num_segments, g1, g2,
+                       jnp.asarray(gidx1), jnp.asarray(gidx2))
         order = np.argsort(ids, kind="stable")
         counts = np.bincount(ids, minlength=num_segments)
         # Level 1: pad each segment's run to a multiple of g1.
