@@ -121,19 +121,25 @@ class StructuredP2Elasticity:
         chans = np.asarray([s[1] for s in slots])
         slot_cells = fake[:, None, :] + offsets[None, :, :]   # [nf, 27, 3]
         in_grid = np.all((slot_cells >= 0) & (slot_cells <= n), axis=2)
-        # flat node-level slot ids (dummy = n_slots for out-of-grid)
+        # Out-of-grid slots are masked to zero and their (zero) rows are
+        # spread uniformly over all segments — concentrating them in one
+        # segment would explode the scatter plan's padded level-2 size
+        # (g2 = max contributions per segment) to gigabytes.
         sc = np.clip(slot_cells, 0, n)
         flat = ((sc[:, :, 0] * m + sc[:, :, 1]) * m + sc[:, :, 2]) * 8 \
             + chans[None, :]
-        flat = np.where(in_grid, flat, n_slots)
+        spread = (np.arange(flat.size, dtype=np.int64) * 7919) % n_slots
+        flat = np.where(in_grid, flat, spread.reshape(flat.shape))
         touch = in_grid.any(axis=1)
         fake_slots = flat[touch]                                  # [nf, 27]
-        # Scatter plan for the correction output (over node-level slots).
-        plan = ScatterPlan.build(fake_slots.reshape(-1), n_slots + 1)
-        return cls(n, jnp.asarray(kernel),
-                   jnp.asarray(K_cube),
-                   jnp.asarray(node_slot), jnp.asarray(slot_node),
-                   jnp.asarray(fake_slots), plan, mesh.num_nodes)
+        fake_mask = in_grid[touch]                                # [nf, 27]
+        plan = ScatterPlan.build(fake_slots.reshape(-1), n_slots)
+        obj = cls(n, jnp.asarray(kernel),
+                  jnp.asarray(K_cube),
+                  jnp.asarray(node_slot), jnp.asarray(slot_node),
+                  jnp.asarray(fake_slots), plan, mesh.num_nodes)
+        obj.fake_mask = jnp.asarray(fake_mask)
+        return obj
 
     # -- channel-space transforms ---------------------------------------
     def to_channels(self, u):
@@ -154,15 +160,14 @@ class StructuredP2Elasticity:
             x, self.kernel.astype(uc.dtype), window_strides=(1, 1, 1),
             padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         y = y[0].reshape(-1, 3)
-        # Correction: subtract fake-cube contributions.
-        n_slots = m * m * m * 8
-        uc_pad = jnp.concatenate(
-            [uc, jnp.zeros((1, 3), dtype=uc.dtype)])
-        ue = uc_pad[self.fake_slots]                  # [nf, 27, 3]
+        # Correction: subtract fake-cube contributions (out-of-grid node
+        # slots masked to zero before and after the cube matvec).
+        mask = self.fake_mask.astype(uc.dtype)[:, :, None]
+        ue = uc[self.fake_slots] * mask               # [nf, 27, 3]
         nf = ue.shape[0]
         fe = jnp.einsum("ab,eb->ea", self.K_cube.astype(uc.dtype),
-                        ue.reshape(nf, 81)).reshape(nf * 27, 3)
-        corr = self.fake_plan(fe)[:-1]                # drop dummy slot
+                        ue.reshape(nf, 81)).reshape(nf, 27, 3) * mask
+        corr = self.fake_plan(fe.reshape(nf * 27, 3))
         return y - corr
 
     def __call__(self, u):
@@ -216,6 +221,7 @@ class StructuredP2Elasticity:
         # Correct the shell: subtract fake-cube diagonal contributions.
         Kd = jnp.diagonal(self.K_cube).reshape(27, 3)
         nf = self.fake_slots.shape[0]
-        fe = jnp.tile(Kd[None], (nf, 1, 1)).reshape(nf * 27, 3)
-        corr = self.fake_plan(fe.astype(full.dtype))[:-1]
+        fe = jnp.tile(Kd[None], (nf, 1, 1)) \
+            * self.fake_mask.astype(full.dtype)[:, :, None]
+        corr = self.fake_plan(fe.reshape(nf * 27, 3).astype(full.dtype))
         return full - corr
