@@ -109,7 +109,9 @@ def main():
     freec = jnp.broadcast_to(valid, bc.shape)
     diagc = op.diagonal_channels().astype(dt)
 
-    def cg_structured(bc, freec, diagc):
+    def cg_structured(op, bc, freec, diagc):
+        # op enters as a pytree ARGUMENT: closure-constant conv kernels are
+        # ~43x slower on this toolchain.
         project = lambda v: v * freec
         safe = jnp.where(diagc > 0, diagc, 1.0)
         return cg_mod.cg_fixed_iters(
@@ -118,11 +120,11 @@ def main():
 
     f_s = jax.jit(cg_structured)
     t0 = time.time()
-    rs = f_s(bc, freec, diagc)
+    rs = f_s(op, bc, freec, diagc)
     jax.block_until_ready(rs)
     timings["cg_structured_compile_s"] = round(time.time() - t0, 2)
     t0 = time.time()
-    rs = f_s(bc, freec, diagc)
+    rs = f_s(op, bc, freec, diagc)
     jax.block_until_ready(rs)
     t_s = (time.time() - t0) / iters
     pcg_structured_per_s = 1.0 / t_s

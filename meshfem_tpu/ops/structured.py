@@ -59,6 +59,7 @@ def _cube_mesh_and_stiffness(h: float, D):
     return slots, K_cube
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class StructuredP2Elasticity:
     """Structured operator for ``FEMMesh(grid_tet(n, n, n), degree=2)``.
@@ -128,17 +129,26 @@ class StructuredP2Elasticity:
         sc = np.clip(slot_cells, 0, n)
         flat = ((sc[:, :, 0] * m + sc[:, :, 1]) * m + sc[:, :, 2]) * 8 \
             + chans[None, :]
-        spread = (np.arange(flat.size, dtype=np.int64) * 7919) % n_slots
-        flat = np.where(in_grid, flat, spread.reshape(flat.shape))
         touch = in_grid.any(axis=1)
-        fake_slots = flat[touch]                                  # [nf, 27]
+        fake_slots = np.where(in_grid, flat, 0)[touch]            # [nf, 27]
         fake_mask = in_grid[touch]                                # [nf, 27]
-        plan = ScatterPlan.build(fake_slots.reshape(-1), n_slots)
+        # Compact the correction to the touched shell slots: the plan runs
+        # over S << n_slots segments; the result is added back with one
+        # small scatter.  (A full-width plan costs an N*g2-row gather per
+        # apply — 40x the conv itself.)
+        shell, compact = np.unique(fake_slots.reshape(-1),
+                                   return_inverse=True)
+        # Spread masked dummies (zero rows) uniformly over compact segments.
+        spread = (np.arange(compact.size, dtype=np.int64) * 7919) \
+            % len(shell)
+        compact = np.where(fake_mask.reshape(-1), compact, spread)
+        plan = ScatterPlan.build(compact, len(shell))
         obj = cls(n, jnp.asarray(kernel),
                   jnp.asarray(K_cube),
                   jnp.asarray(node_slot), jnp.asarray(slot_node),
                   jnp.asarray(fake_slots), plan, mesh.num_nodes)
         obj.fake_mask = jnp.asarray(fake_mask)
+        obj.shell_slots = jnp.asarray(shell)
         return obj
 
     # -- channel-space transforms ---------------------------------------
@@ -167,8 +177,8 @@ class StructuredP2Elasticity:
         nf = ue.shape[0]
         fe = jnp.einsum("ab,eb->ea", self.K_cube.astype(uc.dtype),
                         ue.reshape(nf, 81)).reshape(nf, 27, 3) * mask
-        corr = self.fake_plan(fe.reshape(nf * 27, 3))
-        return y - corr
+        corr = self.fake_plan(fe.reshape(nf * 27, 3))   # [S, 3] shell-only
+        return y.at[self.shell_slots].add(-corr)
 
     def __call__(self, u):
         """A u for nodal u [N, 3] (validated against the EBE operator)."""
@@ -224,4 +234,20 @@ class StructuredP2Elasticity:
         fe = jnp.tile(Kd[None], (nf, 1, 1)) \
             * self.fake_mask.astype(full.dtype)[:, :, None]
         corr = self.fake_plan(fe.reshape(nf * 27, 3).astype(full.dtype))
-        return full - corr
+        return full.at[self.shell_slots].add(-corr)
+
+    # -- pytree: pass operators as jit ARGUMENTS (closure-constant convs
+    # are ~43x slower on this toolchain; constants also bloat compiles) --
+    def tree_flatten(self):
+        leaves = (self.kernel, self.K_cube, self.node_slot, self.slot_node,
+                  self.fake_slots, self.fake_plan, self.shell_slots,
+                  self.fake_mask)
+        return leaves, (self.n, self.num_nodes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls(aux[0], leaves[0], leaves[1], leaves[2], leaves[3],
+                  leaves[4], leaves[5], aux[1])
+        obj.shell_slots = leaves[6]
+        obj.fake_mask = leaves[7]
+        return obj
