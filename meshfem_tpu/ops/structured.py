@@ -36,6 +36,50 @@ _CHANNEL_BITS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
 _BITS_TO_CH = {b: i for i, b in enumerate(_CHANNEL_BITS)}
 
 
+def _build_facet_corrections(slots, K_cube, n):
+    """Inclusion-exclusion boundary correction as translation-invariant
+    facet kernels: the fake-cube shell decomposes into 6 face planes
+    (counted +1), 12 edge lines (-1, double-counted by faces) and 8
+    corner cells (+1).  Each set's contribution is a small conv over a
+    SLICE of the channel tensor — no gathers at all.
+
+    Returns a list of (fixed, sign, kernel) where ``fixed`` maps axis ->
+    (plane_coord, required_owner_offset) and ``kernel`` is
+    [3]*len(free_axes) + [24, 24] over free-axis offsets (ob - oa)."""
+    import itertools as it
+
+    out = []
+    axes = (0, 1, 2)
+    for k_fixed in (1, 2, 3):
+        sign = (+1.0, -1.0, +1.0)[k_fixed - 1]
+        for fixed_axes in it.combinations(axes, k_fixed):
+            free_axes = tuple(a for a in axes if a not in fixed_axes)
+            for sides in it.product((-1, +1), repeat=k_fixed):
+                # side -1: fake cell coord -1, in-grid owners need o = 1
+                #          (owner cell 0);
+                # side +1: fake cell coord n, in-grid owners need o = 0
+                #          (owner cell n).
+                fixed = {}
+                for a, s in zip(fixed_axes, sides):
+                    fixed[a] = (0 if s < 0 else n, 1 if s < 0 else 0)
+                shape = tuple([3] * len(free_axes)) + (24, 24)
+                W = np.zeros(shape)
+                for a, (oa, ca) in enumerate(slots):
+                    if any(oa[ax] != req for ax, (_, req) in fixed.items()):
+                        continue
+                    for b, (ob, cb) in enumerate(slots):
+                        if any(ob[ax] != req
+                               for ax, (_, req) in fixed.items()):
+                            continue
+                        d = ob - oa
+                        idx = tuple(d[ax] + 1 for ax in free_axes)
+                        blk = K_cube[a * 3:(a + 1) * 3, b * 3:(b + 1) * 3]
+                        W[idx + (slice(cb * 3, cb * 3 + 3),
+                                 slice(ca * 3, ca * 3 + 3))] += blk.T
+                out.append((fixed, sign, jnp.asarray(W)))
+    return out
+
+
 def _cube_mesh_and_stiffness(h: float, D):
     """One unit cube (spacing h), Kuhn-subdivided, P2: returns
     (node_slots [27] as (owner_offset [3], channel), K_cube [81, 81])."""
@@ -149,6 +193,7 @@ class StructuredP2Elasticity:
                   jnp.asarray(fake_slots), plan, mesh.num_nodes)
         obj.fake_mask = jnp.asarray(fake_mask)
         obj.shell_slots = jnp.asarray(shell)
+        obj.facets = _build_facet_corrections(slots, K_cube, n)
         return obj
 
     # -- channel-space transforms ---------------------------------------
@@ -163,22 +208,51 @@ class StructuredP2Elasticity:
         return uc[self.node_slot]
 
     def apply_channels(self, uc):
-        """A u in channel space: conv minus fake-cube correction."""
+        """A u in channel space: uniform conv minus facet corrections
+        (all slice-based — the apply contains no gather/scatter at all)."""
         m = self.n + 1
         x = uc.reshape(m, m, m, 24)[None]
         y = jax.lax.conv_general_dilated(
             x, self.kernel.astype(uc.dtype), window_strides=(1, 1, 1),
             padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        y = y[0].reshape(-1, 3)
-        # Correction: subtract fake-cube contributions (out-of-grid node
-        # slots masked to zero before and after the cube matvec).
+        y4 = y[0] - self._facet_correction(x[0])
+        return y4.reshape(-1, 3)
+
+    def _facet_correction(self, uc4):
+        """Inclusion-exclusion fake-cube correction on the [m, m, m, 24]
+        channel tensor: 6 plane convs - 12 edge convs + 8 corner matmuls."""
+        total = jnp.zeros_like(uc4)
+        for fixed, sign, W in self.facets:
+            W = W.astype(uc4.dtype)
+            idx = [slice(None)] * 3
+            for ax, (coord, _) in fixed.items():
+                idx[ax] = coord
+            sub = uc4[tuple(idx)]
+            nfree = 3 - len(fixed)
+            if nfree == 2:
+                delta = jax.lax.conv_general_dilated(
+                    sub[None], W, window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+            elif nfree == 1:
+                delta = jax.lax.conv_general_dilated(
+                    sub[None], W, window_strides=(1,), padding="SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"))[0]
+            else:
+                delta = sub @ W
+            total = total.at[tuple(idx)].add(sign * delta)
+        return total
+
+    def _gather_correction_reference(self, uc):
+        """Gather-based correction kept for cross-validation of the facet
+        kernels (setup/tests only)."""
         mask = self.fake_mask.astype(uc.dtype)[:, :, None]
         ue = uc[self.fake_slots] * mask               # [nf, 27, 3]
         nf = ue.shape[0]
         fe = jnp.einsum("ab,eb->ea", self.K_cube.astype(uc.dtype),
                         ue.reshape(nf, 81)).reshape(nf, 27, 3) * mask
-        corr = self.fake_plan(fe.reshape(nf * 27, 3))   # [S, 3] shell-only
-        return y.at[self.shell_slots].add(-corr)
+        corr = self.fake_plan(fe.reshape(nf * 27, 3))
+        n_slots = uc.shape[0]
+        return jnp.zeros_like(uc).at[self.shell_slots].add(corr)
 
     def __call__(self, u):
         """A u for nodal u [N, 3] (validated against the EBE operator)."""
@@ -239,10 +313,13 @@ class StructuredP2Elasticity:
     # -- pytree: pass operators as jit ARGUMENTS (closure-constant convs
     # are ~43x slower on this toolchain; constants also bloat compiles) --
     def tree_flatten(self):
+        facet_kernels = tuple(W for _, _, W in self.facets)
+        facet_meta = tuple((tuple(sorted(f.items())), s)
+                           for f, s, _ in self.facets)
         leaves = (self.kernel, self.K_cube, self.node_slot, self.slot_node,
                   self.fake_slots, self.fake_plan, self.shell_slots,
-                  self.fake_mask)
-        return leaves, (self.n, self.num_nodes)
+                  self.fake_mask) + facet_kernels
+        return leaves, (self.n, self.num_nodes, facet_meta)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -250,4 +327,6 @@ class StructuredP2Elasticity:
                   leaves[4], leaves[5], aux[1])
         obj.shell_slots = leaves[6]
         obj.fake_mask = leaves[7]
+        obj.facets = [(dict(meta[0]), meta[1], W)
+                      for meta, W in zip(aux[2], leaves[8:])]
         return obj
