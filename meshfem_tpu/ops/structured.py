@@ -10,10 +10,11 @@ body diagonal) — and the stiffness action becomes ONE MXU-powered
 boundary-shell correction for the fake cubes the uniform stencil
 overcounts.
 
-Measured on v5e @ 1.12M DOF: 0.08 ms per operator apply vs 76 ms for the
-general gather-based EBE path — the TPU-native answer to CHOLMOD-grade
-throughput on structured regions.  The general path remains the fallback
-for unstructured meshes.
+Measured on v5e (through the axon relay) @ 1.07M DOF: PCG iterations run
+~4x faster than the general gather-based EBE path, with the stiffness
+apply containing no gather/scatter instructions at all (one volume conv +
+facet convs on slices).  The general path remains the fallback for
+unstructured meshes.
 """
 
 from __future__ import annotations
