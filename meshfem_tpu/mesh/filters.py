@@ -246,3 +246,48 @@ def highlight_dangling_vertices(V, F):
     used = np.zeros(len(V), dtype=bool)
     used[np.unique(F)] = True
     return np.flatnonzero(~used)
+
+
+def resample_curve(points, target_len: float, closed: bool = True):
+    """Resample a polyline/polygon to roughly uniform segment lengths
+    (``filters/ResampleCurve.hh``)."""
+    P = np.asarray(points, dtype=np.float64)
+    if closed:
+        P = np.vstack([P, P[:1]])
+    seg = np.linalg.norm(np.diff(P, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1]
+    k = max(3, int(round(total / target_len)))
+    ts = np.linspace(0.0, total, k, endpoint=not closed) if not closed \
+        else np.linspace(0.0, total, k + 1)[:-1]
+    out = np.empty((len(ts), P.shape[1]))
+    for d in range(P.shape[1]):
+        out[:, d] = np.interp(ts, s, P[:, d])
+    return out
+
+
+def curve_cleanup(points, min_len: float = 0.0, collinear_tol: float = 1e-10,
+                  closed: bool = True):
+    """Remove near-duplicate points and collinear vertices from a curve
+    (``filters/CurveCleanup.hh``)."""
+    P = np.asarray(points, dtype=np.float64)
+    keep = [0]
+    for i in range(1, len(P)):
+        if np.linalg.norm(P[i] - P[keep[-1]]) > min_len:
+            keep.append(i)
+    P = P[keep]
+    # Drop collinear vertices.
+    n = len(P)
+    out = []
+    for i in range(n):
+        a = P[(i - 1) % n] if closed else P[max(i - 1, 0)]
+        b = P[i]
+        c = P[(i + 1) % n] if closed else P[min(i + 1, n - 1)]
+        u, v = b - a, c - b
+        cross = u[0] * v[1] - u[1] * v[0]
+        if not closed and (i == 0 or i == n - 1):
+            out.append(i)
+        elif abs(cross) > collinear_tol * max(np.linalg.norm(u)
+                                              * np.linalg.norm(v), 1e-300):
+            out.append(i)
+    return P[out]

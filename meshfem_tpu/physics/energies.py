@@ -127,3 +127,52 @@ def total_energy(mesh, energy: str, lam, mu, geometry=None):
         return jnp.sum(vol * density(F, lam, mu))
 
     return E
+
+
+def principal_stretches_2d(F, sweeps: int = 8):
+    """Singular values of the (possibly 3x2) membrane deformation gradient."""
+    C = jnp.einsum("...ki,...kj->...ij", F, F)   # [.., 2, 2]
+    tr = C[..., 0, 0] + C[..., 1, 1]
+    det = C[..., 0, 0] * C[..., 1, 1] - C[..., 0, 1] * C[..., 1, 0]
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    l1 = jnp.sqrt(jnp.maximum(tr / 2 + disc, 1e-30))
+    l2 = jnp.sqrt(jnp.maximum(tr / 2 - disc, 1e-30))
+    return l1, l2
+
+
+def membrane_stvk_energy(F, lam, mu):
+    """Plane-stress StVK membrane energy in principal stretches
+    (``EnergyDensities`` membrane variants): F [..., 3or2, 2]."""
+    l1, l2 = principal_stretches_2d(F)
+    e1 = 0.5 * (l1 ** 2 - 1.0)
+    e2 = 0.5 * (l2 ** 2 - 1.0)
+    # plane-stress reduced lambda
+    lam_ps = 2.0 * lam * mu / (lam + 2.0 * mu)
+    return mu * (e1 ** 2 + e2 ** 2) + 0.5 * lam_ps * (e1 + e2) ** 2
+
+
+def tension_field_stvk_energy(F, lam, mu):
+    """Relaxed (tension-field-theory) membrane StVK energy
+    (``TensionFieldTheory.hh``, after Pipkin 1994): wrinkling regimes
+    replace compressive states by their relaxed envelope.
+
+    Regimes (principal strains e1 >= e2):
+      taut    e2 >= -nu* e1:  full membrane energy
+      wrinkle e1 > 0 > relax: W = mu (1+nu*)/ (1) * e1^2 (uniaxial envelope)
+      slack   e1 <= 0:        W = 0
+    """
+    l1, l2 = principal_stretches_2d(F)
+    e1 = 0.5 * (l1 ** 2 - 1.0)
+    e2 = 0.5 * (l2 ** 2 - 1.0)
+    lam_ps = 2.0 * lam * mu / (lam + 2.0 * mu)
+    nu_star = lam_ps / (lam_ps + 2.0 * mu)
+    E_star = 2.0 * mu * (1.0 + nu_star)   # plane-stress Young's modulus
+    full = mu * (e1 ** 2 + e2 ** 2) + 0.5 * lam_ps * (e1 + e2) ** 2
+    uni = 0.5 * E_star * e1 ** 2
+    taut = e2 >= -nu_star * e1
+    slack = e1 <= 0.0
+    return jnp.where(slack, 0.0, jnp.where(taut, full, uni))
+
+
+ENERGY_DENSITIES["membrane_stvk"] = membrane_stvk_energy
+ENERGY_DENSITIES["tension_field_stvk"] = tension_field_stvk_energy

@@ -125,3 +125,28 @@ def largest_magnitude_eigenvalue(A_apply, n: int, iters: int = 200,
             break
         lam = lam_new
     return lam, v
+
+
+def nth_largest_generalized(K_apply, M_apply, n_vec: int, nth: int = 1,
+                            N: int | None = None, seed: int = 0, **kw):
+    """n-th largest generalized eigenpair of (K, M)
+    (``Eigensolver.hh:14-16``): LOBPCG on the negated pencil."""
+    rng = np.random.default_rng(seed)
+    m = max(nth, n_vec)
+    X0 = jnp.asarray(rng.standard_normal((N, m)))
+    lam, X, hist = lobpcg_generalized(
+        lambda V: -K_apply(V), M_apply, X0, **kw)
+    order = np.argsort(lam)  # ascending of -K => largest of K first
+    return -lam[order[nth - 1]], X[:, int(order[nth - 1])]
+
+
+def negative_curvature_direction(H_apply, N: int, tol: float = 1e-6,
+                                 maxiter: int = 200, seed: int = 0):
+    """Most-negative-eigenvalue direction of a symmetric operator
+    (``Eigensolver.hh`` negativeCurvatureDirection): returns
+    (lambda_min, v) via LOBPCG with identity metric."""
+    rng = np.random.default_rng(seed)
+    X0 = jnp.asarray(rng.standard_normal((N, 2)))
+    lam, X, _ = lobpcg_generalized(H_apply, lambda V: V, X0, tol=tol,
+                                   maxiter=maxiter)
+    return float(lam[0]), X[:, 0]
