@@ -141,14 +141,15 @@ def principal_stretches_2d(F, sweeps: int = 8):
 
 
 def membrane_stvk_energy(F, lam, mu):
-    """Plane-stress StVK membrane energy in principal stretches
-    (``EnergyDensities`` membrane variants): F [..., 3or2, 2]."""
-    l1, l2 = principal_stretches_2d(F)
-    e1 = 0.5 * (l1 ** 2 - 1.0)
-    e2 = 0.5 * (l2 ** 2 - 1.0)
-    # plane-stress reduced lambda
+    """Plane-stress StVK membrane energy (``EnergyDensities`` membrane
+    variants): F [..., 3or2, 2].  Written in smooth invariants of the 2x2
+    Green strain (a principal-stretch form is not differentiable at equal
+    stretches)."""
+    C = jnp.einsum("...ki,...kj->...ij", F, F)
+    Eg = 0.5 * (C - jnp.eye(2, dtype=F.dtype))
+    trE = Eg[..., 0, 0] + Eg[..., 1, 1]
     lam_ps = 2.0 * lam * mu / (lam + 2.0 * mu)
-    return mu * (e1 ** 2 + e2 ** 2) + 0.5 * lam_ps * (e1 + e2) ** 2
+    return mu * jnp.sum(Eg * Eg, axis=(-2, -1)) + 0.5 * lam_ps * trE ** 2
 
 
 def tension_field_stvk_energy(F, lam, mu):
