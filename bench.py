@@ -73,18 +73,24 @@ def main():
     # ---- assembly throughput (inputs varied per rep) ----------------------
     reps = 6
 
+    M_fused = em.fused_matrix_for(D, 3, 2, dt)
+    n_nodes_per_elem = 10
+
     @jax.jit
-    def asm_call(gl, vol, s):
-        # One production assembly: Ke fully materialized in HBM.
-        return em.element_elasticity_fused(gl, vol * s, D, 2)
+    def asm_call(gl, vol, s, M_fused):
+        # One production assembly: Ke fully materialized in HBM.  The
+        # fused matrix enters as an argument (embedded constants defeat
+        # persistent-cache serialization on this toolchain).
+        return em.element_elasticity_fused_apply(gl, vol * s, M_fused,
+                                                 n_nodes_per_elem)
 
     t0 = time.time()
-    Ke = asm_call(gl, vol, jnp.float32(1.0))
+    Ke = asm_call(gl, vol, jnp.float32(1.0), M_fused)
     Ke.block_until_ready()
     timings["assembly_compile_s"] = round(time.time() - t0, 2)
     t0 = time.time()
     for i in range(reps):
-        Ke = asm_call(gl, vol, jnp.float32(1.0 + 1e-6 * (i + 1)))
+        Ke = asm_call(gl, vol, jnp.float32(1.0 + 1e-6 * (i + 1)), M_fused)
         Ke.block_until_ready()
     t_raw = (time.time() - t0) / reps
     # Subtract the measured relay round-trip floor: per-call latency on

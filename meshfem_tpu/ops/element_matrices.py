@@ -144,6 +144,33 @@ def _fused_elasticity_matrix(K: int, deg: int, D_key, C_full: np.ndarray,
 _FUSED_CACHE: dict = {}
 
 
+def fused_matrix_for(D, K: int, deg: int, dtype) -> jnp.ndarray:
+    """The fused constant tensor used by element_elasticity_fused, exposed
+    so callers can pass it as a jit ARGUMENT (embedded big constants can
+    defeat persistent-cache serialization on remote toolchains)."""
+    from ..fem.flattening import full_to_flat_map
+
+    D_np = np.asarray(D, dtype=np.float64)
+    dim = {1: 1, 3: 2, 6: 3}[D_np.shape[-1]]
+    f2f = full_to_flat_map(dim)
+    C_full = D_np[f2f[:, :, None, None], f2f[None, None, :, :]]
+    return jnp.asarray(
+        _fused_elasticity_matrix(K, deg, None, C_full, dtype))
+
+
+def element_elasticity_fused_apply(grad_lambda, volume, M, n: int):
+    """Pure fused assembly given the precomputed matrix M [(K+1)d)^2, (nd)^2]
+    (see fused_matrix_for); fully jit/cache-friendly."""
+    K = grad_lambda.shape[-2] - 1
+    dim = grad_lambda.shape[-1]
+    E = grad_lambda.shape[0]
+    gdim = (K + 1) * dim
+    gg = jnp.einsum("eka,elb->ekalb", grad_lambda,
+                    grad_lambda).reshape(E, gdim * gdim)
+    Ke = jnp.matmul(gg, M) * volume[:, None]
+    return Ke.reshape(E, n * dim, n * dim)
+
+
 def element_elasticity_fused(grad_lambda, volume, D, deg: int,
                              precision=None):
     """MXU-friendly element stiffness for a CONSTANT material: one batched
