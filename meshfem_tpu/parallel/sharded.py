@@ -115,6 +115,108 @@ def sharded_cg_step(apply_fn):
     return step
 
 
+def sharded_elasticity_solve_multichip(
+        mesh2: Mesh, sim, B, free_mask=None, iters: int = 20,
+        domain_axis: str = "e", rhs_axis: str = "b"):
+    """Production multi-chip solve: Jacobi-preconditioned, Dirichlet-masked
+    block CG over a 2D (domain x rhs) device mesh.
+
+    * ``domain_axis``: elements + their Ke blocks sharded (FEM domain
+      decomposition); SpMV = local gather/einsum/segment-sum + one psum.
+    * ``rhs_axis``: independent RHS columns (homogenization cell problems,
+      eigensolver blocks) sharded on the last axis of ``B`` [Nn, d, m];
+      no cross-column communication exists, so this axis is free.
+
+    Returns (U [Nn, d, m], resnorm2 [m]) with padding columns stripped.
+    Replaces the reference's single-process CHOLMOD path
+    (SparseMatrices.hh:1984-2296) with an SPMD iterative solve.
+    """
+    import jax
+
+    d = sim.dim
+    Nn = sim.num_dofs
+    e_shards = mesh2.shape[domain_axis]
+    b_shards = mesh2.shape[rhs_axis]
+
+    Ke, ed = pad_elements(jnp.asarray(sim.Ke), jnp.asarray(sim.elem_dofs),
+                          e_shards)
+    n = ed.shape[1]
+
+    m = B.shape[-1]
+    m_pad = ((m + b_shards - 1) // b_shards) * b_shards
+    if m_pad != m:
+        B = jnp.concatenate(
+            [B, jnp.zeros(B.shape[:-1] + (m_pad - m,), B.dtype)], axis=-1)
+
+    if free_mask is None:
+        free = jnp.ones((Nn, d), B.dtype)
+    else:
+        free = jnp.asarray(free_mask, B.dtype).reshape(Nn, d)
+
+    eP = jax.sharding.NamedSharding(mesh2, P(domain_axis))
+    rP = jax.sharding.NamedSharding(mesh2, P(None, None, rhs_axis))
+    repl = jax.sharding.NamedSharding(mesh2, P())
+    Ke = jax.device_put(Ke, eP)
+    ed = jax.device_put(ed, eP)
+    B = jax.device_put(B, rP)
+    free = jax.device_put(free, repl)
+
+    def local_solve(Ke, ed, B, free):
+        E = Ke.shape[0]
+        mloc = B.shape[-1]
+
+        def apply_K(u):                       # u: [Nn, d, mloc] replicated/e
+            ue = u[ed].reshape(E, n * d, mloc)
+            fe = jnp.einsum("eij,ejm->eim", Ke, ue)
+            out = jax.ops.segment_sum(
+                fe.reshape(E, n, d, mloc).reshape(E * n, d * mloc),
+                ed.reshape(-1), num_segments=Nn).reshape(Nn, d, mloc)
+            return jax.lax.psum(out, domain_axis)
+
+        de = jnp.diagonal(Ke, axis1=1, axis2=2)       # [E, n*d]
+        diag = jax.ops.segment_sum(
+            de.reshape(E * n, d), ed.reshape(-1),
+            num_segments=Nn)
+        diag = jax.lax.psum(diag, domain_axis)
+        safe = jnp.where(diag > 0, diag, 1.0)[..., None]
+        fm = free[..., None]
+
+        def project(v):
+            return v * fm
+
+        b = project(B)
+        x = jnp.zeros_like(b)
+        r = b
+        z = project(r / safe)
+        p = z
+        gamma = jnp.sum(r * z, axis=(0, 1))
+
+        def body(state, _):
+            x, r, z, p, gamma = state
+            Ap = project(apply_K(p))
+            den = jnp.sum(p * Ap, axis=(0, 1))
+            alpha = gamma / jnp.where(den == 0, 1.0, den)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = project(r / safe)
+            gamma_new = jnp.sum(r * z, axis=(0, 1))
+            beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+            p = z + beta * p
+            return (x, r, z, p, gamma_new), None
+
+        (x, r, *_), _ = jax.lax.scan(body, (x, r, z, p, gamma), None,
+                                     length=iters)
+        return x, jnp.sum(r * r, axis=(0, 1))
+
+    fn = shard_map(
+        local_solve, mesh=mesh2,
+        in_specs=(P(domain_axis), P(domain_axis),
+                  P(None, None, rhs_axis), P()),
+        out_specs=(P(None, None, rhs_axis), P(rhs_axis)))
+    U, res2 = jax.jit(fn)(Ke, ed, B, free)
+    return U[..., :m], res2[:m]
+
+
 def sharded_elasticity_solve(mesh: Mesh, sim, b, iters: int = 20,
                              axis: str = "e"):
     """Replicated-vector, element-sharded CG on an ElasticitySimulator.
