@@ -43,10 +43,25 @@ def homogenize_deformed(mesh: FEMMesh, material, jacobian,
 
         mat2 = Material(mesh.dim, D2)
         return hom.homogenize(mesh, mat2, tol=tol)
-    V2 = mesh.V @ F.T
-    warped = FEMMesh(V2, mesh.F, degree=mesh.degree)
-    return hom.homogenize(warped, material, tol=tol,
-                          base_cell_volume=warped.bbox().volume())
+    # General jacobians (shear/rotation) break axis-aligned periodic matching
+    # on the warped vertices, so match periodic pairs on the ORIGINAL cell and
+    # re-embed the same mesh at the warped positions (the linear map commutes
+    # with edge-node construction).  Cell volume = |det F| * |Y|.
+    from ..mesh import periodic as per
+
+    dof_map, _, _ = per.match_periodic_nodes(mesh.node_positions, mesh.bbox())
+    X2 = jnp.asarray(np.asarray(mesh.node_positions) @ F.T)
+    from ..physics.elasticity import ElasticitySimulator
+
+    sim = ElasticitySimulator(mesh, material, dof_map=dof_map,
+                              node_positions=X2)
+    w, iters = hom.solve_cell_problems(sim, tol=tol)
+    w = w - jnp.mean(w, axis=1, keepdims=True)
+    vol_cell = abs(np.linalg.det(F)) * mesh.bbox().volume()
+    Ch = hom.homogenized_tensor_stress_form(sim, w, base_cell_volume=vol_cell)
+    strain_w = jnp.stack([sim.average_strain_field(w[i])
+                          for i in range(w.shape[0])])
+    return hom.HomogenizationResult(Ch, w, strain_w, iters)
 
 
 def _energy_form_tensor(mesh: FEMMesh, D, w, node_positions):

@@ -66,10 +66,11 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     dim = sim.dim
     fl = flat_len(dim)
     # Translation-invariance: project translations out of the periodic
-    # system (replaces the pin / no-rigid-translation constraint).
-    Z = sim.rigid_modes(translations_only=True)
-    proj_rm = cg_mod.nullspace_projector(jnp.asarray(Z))
-    project = lambda v: proj_rm(v.reshape(-1)).reshape(v.shape)
+    # system (replaces the pin / no-rigid-translation constraint).  The
+    # translation basis is exactly the per-component constant vector, so the
+    # projection is exact mean subtraction — no QR, bit-accurate on TPU
+    # (an inexact projector lets the singular system's null component grow).
+    project = lambda v: v - jnp.mean(v, axis=0, keepdims=True)
     diag = sim.K_diagonal()
     safe = jnp.where(diag > 0, diag, 1.0)
     M_inv = lambda r: r / safe

@@ -150,8 +150,15 @@ def _load_msh_ascii(text):
 
 
 def _load_msh_binary(data):
-    pos = data.find(b"$EndMeshFormat")
-    # verify endianness marker (the int 1 right after "2.2 1 8")
+    # Verify the endianness marker: the int 1 written right after the
+    # "2.2 1 8" header line (format spec; written by save_msh below).
+    hdr = data.find(b"$MeshFormat")
+    marker_pos = data.find(b"\n", data.find(b"\n", hdr) + 1) + 1
+    (marker,) = struct.unpack_from("<i", data, marker_pos)
+    if marker != 1:
+        raise ValueError(
+            f"binary MSH endianness marker is {marker}, expected 1 "
+            "(big-endian files are not supported)")
     nodes_pos = data.find(b"$Nodes")
     p = data.find(b"\n", nodes_pos) + 1
     nl = data.find(b"\n", p)
@@ -310,10 +317,17 @@ def load_stl(path, merge_eps: float = 0.0):
         rec = rec.reshape(n, 50)
         vals = rec[:, :48].copy().view("<f4").reshape(n, 4, 3)
         tri = vals[:, 1:, :].astype(np.float64)
-    # Merge duplicate vertices.
+    # Merge duplicate vertices: quantize by merge_eps when given, else by
+    # near-exact 12-decimal rounding.
     flat = tri.reshape(-1, 3)
-    uniq, inverse = np.unique(flat.round(decimals=12), axis=0,
-                              return_inverse=True)
+    if merge_eps > 0:
+        key = np.round(flat / merge_eps).astype(np.int64)
+        _, first, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+        uniq = flat[first]
+    else:
+        uniq, inverse = np.unique(flat.round(decimals=12), axis=0,
+                                  return_inverse=True)
     F = inverse.reshape(-1, 3).astype(np.int64)
     return uniq, F
 

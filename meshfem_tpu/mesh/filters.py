@@ -44,7 +44,8 @@ def reorient_negative_elements(V, F):
     F = np.asarray(F).copy()
     X = V[F]
     if F.shape[1] == 3 and V.shape[1] == 2:
-        det = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+        a, b = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
+        det = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
     elif F.shape[1] == 4:
         det = np.linalg.det(X[:, 1:] - X[:, :1])
     else:

@@ -86,7 +86,8 @@ def triangulate_pslg(outline, holes=(), target_area: float = 0.01,
     F = F[ok]
     # Positive orientation.
     X = pts[F]
-    det = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+    a, b = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
+    det = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
     flip = det < 0
     F[flip, 1], F[flip, 2] = F[flip, 2], F[flip, 1].copy()
     from .filters import remove_dangling_vertices

@@ -71,25 +71,55 @@ def cg(
     bnorm2 = _dot(b, b)
     stop2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
+    STALL_WINDOW = 256   # iters without any best-residual improvement
+    DIVERGE_FACTOR = 1e4  # rr blowing past best by this factor = divergence
+
     def cond(state):
-        x, r, z, p, gamma, k = state
-        return jnp.logical_and(k < maxiter, _dot(r, r) > stop2)
+        x, r, z, p, gamma, k, done, rr_best, stall, x_best = state
+        rr = _dot(r, r)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, rr > stop2),
+            jnp.logical_and(~done, jnp.isfinite(rr)))
 
     def body(state):
-        x, r, z, p, gamma, k = state
+        x, r, z, p, gamma, k, done, rr_best, stall, x_best = state
         Ap = project(A(p))
-        alpha = (gamma / _dot(p, Ap)).astype(x.dtype)
+        den = _dot(p, Ap)
+        # Breakdown guard: non-positive / non-finite curvature means the
+        # solve hit the roundoff floor (e.g. a roundoff-level RHS of a
+        # singular periodic system) — freeze the iterate and stop rather
+        # than diverge.
+        good = jnp.logical_and(jnp.isfinite(den), den > 0)
+        alpha = jnp.where(good, gamma / jnp.where(good, den, 1.0), 0.0)
+        alpha = alpha.astype(x.dtype)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(M_inv(r))
-        gamma_new = _dot(r, z)
+        gamma_new = jnp.where(good, _dot(r, z), gamma)
         beta = (gamma_new / gamma).astype(x.dtype)
         p = z + beta * p
-        return (x, r, z, p, gamma_new, k + 1)
+        # Stagnation / divergence detection: once CG is below the attainable
+        # f64 residual floor its recursive residual decouples from the true
+        # one and the iterate random-walks — keep the best iterate and stop.
+        rr = _dot(r, r)
+        improved = rr < 0.999 * rr_best
+        x_best = jnp.where(improved, x, x_best)
+        stall = jnp.where(improved, 0, stall + 1)
+        rr_best = jnp.minimum(rr, rr_best)
+        done = jnp.logical_or(~good, jnp.logical_or(
+            stall >= STALL_WINDOW, rr > DIVERGE_FACTOR * rr_best))
+        return (x, r, z, p, gamma_new, k + 1, done, rr_best, stall, x_best)
 
-    state = (x0, r0, z0, z0, gamma0, jnp.asarray(0, dtype=jnp.int32))
-    x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, state)
-    return CGResult(x, k, jnp.sqrt(_dot(r, r)))
+    rr0 = _dot(r0, r0)
+    state = (x0, r0, z0, z0, gamma0, jnp.asarray(0, dtype=jnp.int32),
+             jnp.asarray(False), rr0, jnp.asarray(0, dtype=jnp.int32), x0)
+    (x, r, z, p, gamma, k, done, rr_best, stall, x_best) = \
+        jax.lax.while_loop(cond, body, state)
+    # If we stopped abnormally, the tracked best iterate is the answer.
+    use_best = jnp.logical_and(done, rr_best < _dot(r, r))
+    x = jnp.where(use_best, x_best, x)
+    rnorm = jnp.sqrt(jnp.where(use_best, rr_best, _dot(r, r)))
+    return CGResult(x, k, rnorm)
 
 
 def cg_fixed_iters(A, b, x0=None, *, M_inv=None, project=None, iters: int = 100):
@@ -168,11 +198,18 @@ def mask_projector(free_mask):
 
 def nullspace_projector(Z):
     """Projector onto the orthogonal complement of span(Z) (columns
-    orthonormalized here); replaces Lagrange 'no rigid motion' rows."""
+    orthonormalized here); replaces Lagrange 'no rigid motion' rows.
+
+    Orthonormalization uses MGS (utils.linalg.orthonormalize), NOT
+    jnp.linalg.qr: TPU's f64 QR silently loses precision, and an inexact
+    projector lets the null-space component of a singular CG system grow
+    until the solve diverges."""
+    from ..utils.linalg import orthonormalize
+
     Z = jnp.asarray(Z)
     if Z.ndim == 1:
         Z = Z[:, None]
-    Q, _ = jnp.linalg.qr(Z)
+    Q = orthonormalize(Z)
 
     def project(v):
         flat = v.reshape(Q.shape[0], -1)

@@ -92,21 +92,35 @@ class SPSDSystem:
         b = jnp.asarray(b)
         if direct or (self._scipy is not None and self.n <= 20000):
             return self._solve_direct(b)
-        project, _ = self._projector()
-        u_p = self.particular_solution()
         multi = b.ndim == 2
-        if multi:
-            proj = lambda V: jnp.stack(
-                [project(V[:, j]) for j in range(V.shape[1])], axis=1)
+        free = jnp.asarray(~self._fixed, dtype=jnp.float64)
+        mask = free[:, None] if multi else free
+        _, Q = self._projector()
+
+        def proj(v):
+            v = v * mask.astype(v.dtype)
+            if Q is not None:
+                v = v - Q @ (Q.T @ v)   # [n,k]@[k,(m)] — multi-RHS native
+                v = v * mask.astype(v.dtype)
+            return v
+
+        u_p = self.particular_solution()
+        if not multi:
+            Ap = self._apply
+            rhs = b - Ap(u_p)
+        elif self._scipy is not None:
+            Ap = lambda V: jnp.asarray(self._scipy @ np.asarray(V))
+            rhs = b - Ap(jnp.broadcast_to(u_p[:, None], b.shape))
         else:
-            proj = project
-        Ap = self._apply
-        rhs = b - (Ap(u_p) if not multi else jnp.stack(
-            [Ap(u_p)] * b.shape[1], axis=1))
-        res = cg_mod.cg(
-            (lambda V: jnp.stack([Ap(V[:, j]) for j in range(V.shape[1])],
-                                 axis=1)) if multi else Ap,
-            rhs, M_inv=self._M_inv, project=proj, tol=tol, maxiter=maxiter)
+            # Batch the matrix-free operator over RHS columns as ONE fused
+            # vmapped op (the scatter-plan kernels handle block RHS natively
+            # under vmap) instead of a per-column Python loop.
+            import jax
+
+            Ap = jax.vmap(self._apply, in_axes=1, out_axes=1)
+            rhs = b - jnp.broadcast_to(self._apply(u_p)[:, None], b.shape)
+        res = cg_mod.cg(Ap, rhs, M_inv=self._M_inv, project=proj,
+                        tol=tol, maxiter=maxiter)
         return res.x + (u_p[:, None] if multi else u_p)
 
     def _solve_direct(self, b):

@@ -99,14 +99,16 @@ class ScatterPlan:
         return cls(aux[0], aux[1], aux[2], aux[3], children[0], children[1])
 
 
-_PLAN_CACHE: dict = {}
-
-
 def plan_for(ids, num_segments: int, g1: int = 8) -> ScatterPlan:
-    """Cached ScatterPlan keyed on the id-array identity."""
-    key = (id(ids), num_segments, g1)
+    """Content-keyed cached ScatterPlan (ids hashed by bytes, so a recycled
+    array id can never alias a stale plan)."""
+    ids = np.ascontiguousarray(np.asarray(ids).reshape(-1))
+    key = (hash(ids.tobytes()), ids.size, num_segments, g1)
     plan = _PLAN_CACHE.get(key)
-    if plan is None or plan.num_rows != np.asarray(ids).size:
+    if plan is None:
         plan = ScatterPlan.build(ids, num_segments, g1)
         _PLAN_CACHE[key] = plan
     return plan
+
+
+_PLAN_CACHE: dict = {}

@@ -123,3 +123,22 @@ def eigh_jacobi(A, sweeps: int = 12):
     w = jnp.take_along_axis(w, order, axis=-1)
     V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
     return w, V
+
+
+def orthonormalize(Z, passes: int = 2):
+    """Column-orthonormalize Z [n, k] by modified Gram-Schmidt with
+    re-orthogonalization — pure einsum/vector ops, so it stays genuinely
+    f64 on TPU (jnp.linalg.qr silently degrades there, which is fatal for
+    nullspace projectors of singular CG systems).  k is small (<= 6)."""
+    Z = jnp.asarray(Z)
+    k = Z.shape[1]
+    cols = [Z[:, j] for j in range(k)]
+    for _ in range(passes):
+        out = []
+        for j in range(k):
+            v = cols[j]
+            for q in out:
+                v = v - q * jnp.vdot(q, v)
+            out.append(v / jnp.sqrt(jnp.vdot(v, v)))
+        cols = out
+    return jnp.stack(cols, axis=1)

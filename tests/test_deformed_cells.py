@@ -86,3 +86,17 @@ def test_shape_gradient_total_derivative():
 
         fd = (full_J(eps) - full_J(-eps)) / (2 * eps)
         assert g[vidx, comp] == pytest.approx(fd, rel=2e-4, abs=1e-8)
+
+
+def test_shear_jacobian_homogeneous_material():
+    """A sheared homogeneous cell still homogenizes to the base tensor
+    (w = 0 solves the cell problems for ANY jacobian) — exercises general
+    non-axis-aligned jacobians, which must reuse the ORIGINAL cell's
+    periodic matching and |det F| volume normalization."""
+    V, F = generators.grid_tri(6, 6)
+    mesh = FEMMesh(V, F, degree=1)
+    mat = Material.isotropic(2, 5.0, 0.3)
+    Fjac = np.array([[1.0, 0.35], [0.0, 1.2]])
+    r = dc.homogenize_deformed(mesh, mat, Fjac, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.Ch), np.asarray(mat.D),
+                               rtol=1e-8, atol=1e-8)

@@ -223,3 +223,28 @@ def test_fd_hessian_harness():
     f = lambda x: jnp.sum(jnp.sin(x) * x ** 2)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(10))
     assert fd_hessian_check(f, x) < 1e-6
+
+
+def test_spsd_multi_rhs_block_solve():
+    """Multi-RHS solve is a single fused block CG (no per-column loop) and
+    matches per-column solves."""
+    V, F = generators.grid_tri(4, 4)
+    mesh = FEMMesh(V, F, degree=1)
+    L = operators.laplacian(mesh)
+    rng = np.random.default_rng(2)
+    B = rng.standard_normal((mesh.num_nodes, 3))
+
+    sys_cg = spsd.SPSDSystem(lambda u: L(u), n=mesh.num_nodes)
+    sys_cg.fix_variables(mesh.bdry_nodes, 0.0)
+    X = np.asarray(sys_cg.solve(jnp.asarray(B), tol=1e-13))
+    for j in range(3):
+        xj = np.asarray(sys_cg.solve(jnp.asarray(B[:, j]), tol=1e-13))
+        np.testing.assert_allclose(X[:, j], xj, atol=1e-8)
+
+    # scipy-matrix path, with inhomogeneous fixed values
+    A = L.to_scipy()
+    sys2 = spsd.SPSDSystem(A)
+    sys2.fix_variables(mesh.bdry_nodes, 0.5)
+    X2 = np.asarray(sys2.solve(jnp.asarray(B), tol=1e-13))
+    x20 = np.asarray(sys2.solve(jnp.asarray(B[:, 0]), tol=1e-13))
+    np.testing.assert_allclose(X2[:, 0], x20, atol=1e-8)
