@@ -2,16 +2,20 @@
 
 Measures on the attached accelerator:
   1. P2 tetrahedral elasticity stiffness assembly throughput (elements/s)
-     — fused-MXU element kernel (BASELINE target 5e7 elem/s on v5p);
+     — fused-MXU element kernel (BASELINE target 5e7 elem/s);
   2. PCG iteration rate at ~1M-DOF P2 elasticity — general gather-based
-     EBE path and the structured conv fast path, f32.
+     EBE path and the lane-packed structured conv path, f32.
 
-Timing methodology (this matters on tunneled/relayed TPU backends):
-  * every repetition varies its inputs — identical (executable, args)
-    dispatches can be served from a relay-side memo and time at ~0.02 ms;
-  * iteration costs are amortized inside compiled lax.scan loops;
-  * the trivial-dispatch latency and per-loop-iteration overhead floors
-    are measured and reported so the numbers can be interpreted.
+Timing methodology (all four rules are load-bearing on this tunneled
+backend; each alone was measured to corrupt results by 10-1000x):
+  * identical (executable, args) dispatches are memoized by the relay —
+    every repetition varies an input scalar;
+  * block_until_ready() does NOT force execution — every timed call ends
+    in a host readback (float(jnp.sum(...)));
+  * each call carries a ~2-40 ms relay round-trip — work is repeated L
+    times inside a compiled lax.scan and two trip counts are DIFFERENCED;
+  * loop-invariant scan bodies are hoisted by XLA — the carry feeds every
+    operand that must stay live.
 """
 
 import json
@@ -22,6 +26,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
+
+
+def per_iter(make_f, args, lens=(4, 36), reps=3):
+    """RTT-free per-iteration cost of a scan body (seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    ts = {}
+    for L in lens:
+        f = make_f(L)
+        float(jnp.sum(f(jnp.float32(1.0), *args)))  # warm / compile
+        best = []
+        for i in range(reps):
+            s = jnp.float32(1.0 + 1e-6 * (i + 1))
+            t0 = time.time()
+            float(jnp.sum(f(s, *args)))
+            best.append(time.time() - t0)
+        ts[L] = float(np.median(best))
+    return max((ts[lens[1]] - ts[lens[0]]) / (lens[1] - lens[0]), 1e-9)
 
 
 def main():
@@ -40,22 +63,6 @@ def main():
     dt = jnp.float32
     timings = {}
 
-    # ---- infra floors ----------------------------------------------------
-    x8 = jnp.zeros(8, dt)
-    f_triv = jax.jit(lambda x: x * 2.0)
-    f_triv(x8).block_until_ready()
-    t0 = time.time()
-    outs = [f_triv(x8 + jnp.float32(i)) for i in range(10)]
-    jax.block_until_ready(outs)
-    dispatch_ms = (time.time() - t0) / 10 * 1e3
-    f_loop = jax.jit(lambda x: jax.lax.fori_loop(
-        0, 200, lambda i, c: c * 1.000001, x))
-    f_loop(x8).block_until_ready()
-    t0 = time.time()
-    f_loop(x8 + 1.0).block_until_ready()
-    loop_overhead_ms = (time.time() - t0) / 200 * 1e3
-
-    # ---- problem setup -----------------------------------------------------
     n = int(os.environ.get("MESHFEM_BENCH_N", "35"))
     t0 = time.time()
     V, T = generators.grid_tet(n, n, n)
@@ -70,77 +77,66 @@ def main():
     E = mesh.num_elements
     ndof = mesh.num_nodes * 3
 
-    # ---- assembly throughput (inputs varied per rep) ----------------------
-    reps = 6
-
+    # ---- assembly throughput (amortized inside one compiled scan) --------
     M_fused = em.fused_matrix_for(D, 3, 2, dt)
     n_nodes_per_elem = 10
 
-    @jax.jit
-    def asm_call(gl, vol, s, M_fused):
-        # One production assembly: Ke fully materialized in HBM.  The
-        # fused matrix enters as an argument (embedded constants defeat
-        # persistent-cache serialization on this toolchain).
-        return em.element_elasticity_fused_apply(gl, vol * s, M_fused,
-                                                 n_nodes_per_elem)
+    def mk_asm(L):
+        @jax.jit
+        def f(s, gl, vol, M_fused):
+            def body(c, _):
+                Ke = em.element_elasticity_fused_apply(
+                    gl, vol * (s + c[0] * 1e-20), M_fused, n_nodes_per_elem)
+                return c * 0.5 + Ke[:2, 0, 0], None
+            return jax.lax.scan(body, jnp.zeros(2, dt) + s, None,
+                                length=L)[0]
+        return f
 
     t0 = time.time()
-    Ke = asm_call(gl, vol, jnp.float32(1.0), M_fused)
-    Ke.block_until_ready()
-    timings["assembly_compile_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    for i in range(reps):
-        Ke = asm_call(gl, vol, jnp.float32(1.0 + 1e-6 * (i + 1)), M_fused)
-        Ke.block_until_ready()
-    t_raw = (time.time() - t0) / reps
-    # Subtract the measured relay round-trip floor: per-call latency on
-    # this tunneled backend is dominated by dispatch, not device time.
-    t_asm = max(t_raw - dispatch_ms * 1e-3, 0.2 * t_raw)
+    t_asm = per_iter(mk_asm, (gl, vol, M_fused), lens=(2, 12))
+    timings["assembly_bench_s"] = round(time.time() - t0, 2)
     elems_per_s = E / t_asm
 
-    # ---- general-path PCG --------------------------------------------------
+    # ---- general-path PCG (EBE gather pyramid) ----------------------------
+    Ke = em.element_elasticity_fused_apply(gl, vol, M_fused, n_nodes_per_elem)
     kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
     diag = kern.diagonal()
     free = jnp.ones((mesh.num_nodes, 3), dt)
     rng = np.random.default_rng(0)
-    bs = [jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), dt)
-          for _ in range(3)]
-    iters = 40
-    t0 = time.time()
-    res = cg_mod.cg_operator_fixed(kern, bs[0], diag, free, iters=iters)
-    jax.block_until_ready(res.x)
-    timings["cg_compile_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    outs = [cg_mod.cg_operator_fixed(kern, b, diag, free, iters=iters).x
-            for b in bs]
-    jax.block_until_ready(outs)
-    t_iter = (time.time() - t0) / (iters * len(bs))
-    pcg_iters_per_s = 1.0 / t_iter
+    b = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), dt)
 
-    # ---- structured conv fast path ----------------------------------------
+    def mk_cg(L):
+        @jax.jit
+        def f(s, kern, b, diag, free):
+            return cg_mod.cg_operator_fixed(kern, b * s, diag, free,
+                                            iters=L).x
+        return f
+
+    t0 = time.time()
+    t_gen = per_iter(mk_cg, (kern, b, diag, free), lens=(2, 12))
+    timings["cg_general_bench_s"] = round(time.time() - t0, 2)
+    pcg_general = 1.0 / t_gen
+
+    # ---- lane-packed structured conv path ---------------------------------
     op = StructuredP2Elasticity.build(mesh, D, dtype=dt)
-    bcs = [op.to_channels(b) for b in bs]
-    valid = op.valid_mask().astype(dt)
-    freec = jnp.broadcast_to(valid, bcs[0].shape)
-    diagc = op.diagonal_channels().astype(dt)
+    bp = op.to_packed(b)
+    valid = op.valid_mask_packed().astype(dt)
+    diagp = op.diagonal_packed().astype(dt)
 
-    def cg_structured(op, bc, freec, diagc):
-        project = lambda v: v * freec
-        safe = jnp.where(diagc > 0, diagc, 1.0)
-        return cg_mod.cg_fixed_iters(
-            op.apply_channels, bc, M_inv=lambda r: r / safe,
-            project=project, iters=iters).x
+    def mk_cgs(L):
+        @jax.jit
+        def f(s, op, bp, valid, diagp):
+            project = lambda v: v * valid
+            safe = jnp.where(diagp > 0, diagp, 1.0)
+            return cg_mod.cg_fixed_iters(
+                op.apply_packed, bp * s, M_inv=lambda r: r / safe,
+                project=project, iters=L).x
+        return f
 
-    f_s = jax.jit(cg_structured)
     t0 = time.time()
-    rs = f_s(op, bcs[0], freec, diagc)
-    jax.block_until_ready(rs)
-    timings["cg_structured_compile_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    outs = [f_s(op, bc, freec, diagc) for bc in bcs]
-    jax.block_until_ready(outs)
-    t_s = (time.time() - t0) / (iters * len(bcs))
-    pcg_structured_per_s = 1.0 / t_s
+    t_str = per_iter(mk_cgs, (op, bp, valid, diagp), lens=(4, 36))
+    timings["cg_structured_bench_s"] = round(time.time() - t0, 2)
+    pcg_structured = 1.0 / t_str
 
     device = str(jax.devices()[0])
     out = {
@@ -153,16 +149,13 @@ def main():
             "tets": E,
             "dofs": ndof,
             "dtype": "float32",
-            "assembly_ms_device_est": round(t_asm * 1e3, 3),
-            "assembly_ms_raw_call": round(t_raw * 1e3, 3),
-            "pcg_iters_per_s_general": round(pcg_iters_per_s, 1),
-            "pcg_iters_per_s_structured": round(pcg_structured_per_s, 1),
-            "pcg_ms_per_iter_general": round(t_iter * 1e3, 3),
-            "pcg_ms_per_iter_structured": round(t_s * 1e3, 3),
+            "assembly_ms_per_call": round(t_asm * 1e3, 3),
+            "pcg_iters_per_s_general": round(pcg_general, 1),
+            "pcg_iters_per_s_structured": round(pcg_structured, 1),
+            "pcg_ms_per_iter_general": round(t_gen * 1e3, 3),
+            "pcg_ms_per_iter_structured": round(t_str * 1e3, 3),
             "pcg_vs_baseline_1k": round(
-                max(pcg_iters_per_s, pcg_structured_per_s) / 1e3, 4),
-            "infra_dispatch_floor_ms": round(dispatch_ms, 2),
-            "infra_loop_overhead_ms_per_iter": round(loop_overhead_ms, 3),
+                max(pcg_general, pcg_structured) / 1e3, 4),
             "timings": timings,
         },
     }

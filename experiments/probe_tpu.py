@@ -1,10 +1,16 @@
-"""TPU microbenchmarks that ground the round-2 SpMV/solver design.
+"""TPU microbenchmarks that ground the SpMV/solver design (round 2).
 
-The tunneled 'axon' backend memoizes identical (executable, args)
-dispatches, so EVERY timed call varies an input scalar, and per-iteration
-costs are amortized inside compiled lax.scan loops whose trip count we
-compare at two lengths (the difference isolates per-iteration device time
-from dispatch overhead).
+Measurement rules for the tunneled 'axon' backend (all discovered the hard
+way — each alone gives numbers wrong by 10-1000x):
+  1. identical (executable, args) dispatches are memoized by the relay —
+     vary an input scalar every call;
+  2. block_until_ready() does NOT force execution — force a HOST READBACK
+     (float(jnp.sum(out))) to time anything;
+  3. each timed call carries a ~20-40 ms relay round-trip — run the body L
+     times inside lax.scan and DIFFERENCE two trip counts;
+  4. loop-invariant bodies are hoisted out of scan — feed the carry into
+     every operand that must stay live (shift indices by an opaque
+     runtime-0, scale tables by s).
 
 Run: python experiments/probe_tpu.py
 """
@@ -14,162 +20,117 @@ import jax
 import jax.numpy as jnp
 
 
-def time_varied(f, args, reps=4):
-    """Median wall time of f(s, *args) with s varying per call."""
-    f(jnp.float32(1.0), *args)[0].block_until_ready() if isinstance(
-        f(jnp.float32(1.0), *args), tuple) else jax.block_until_ready(
-        f(jnp.float32(1.0), *args))
-    ts = []
-    for i in range(reps):
-        s = jnp.float32(1.0 + 1e-6 * (i + 1))
-        t0 = time.time()
-        jax.block_until_ready(f(s, *args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts))
+def per_iter_cost(make_f, args, lens=(4, 36), reps=3):
+    """Per-iteration device time of a scan body, RTT-free.
 
-
-def scan_cost(body, init, args, lens=(8, 40)):
-    """Per-iteration device cost of `body(carry, s) -> carry` amortized in a
-    scan, isolated from dispatch by differencing two trip counts."""
-    fs = {}
+    make_f(L) must return a jitted f(s, *args) that runs the body L times
+    and whose output depends on every iteration.  Returns seconds/iter."""
+    fs = {L: make_f(L) for L in lens}
+    ts = {}
     for L in lens:
+        float(jnp.sum(fs[L](jnp.float32(1.0), *args)))  # warm (compile)
+        best = []
+        for i in range(reps):
+            s = jnp.float32(1.0 + 1e-6 * (i + 1))
+            t0 = time.time()
+            float(jnp.sum(fs[L](s, *args)))
+            best.append(time.time() - t0)
+        ts[L] = float(np.median(best))
+    return (ts[lens[1]] - ts[lens[0]]) / (lens[1] - lens[0])
+
+
+def scan_bench(name, body, init, args, note="", lens=(4, 36)):
+    def make_f(L):
         @jax.jit
-        def f(s, *a, L=L):
+        def f(s, *a):
             def step(c, _):
                 return body(c, s, *a), None
             return jax.lax.scan(step, init(s, *a), None, length=L)[0]
-        fs[L] = f
-    t_short = time_varied(fs[lens[0]], args)
-    t_long = time_varied(fs[lens[1]], args)
-    return (t_long - t_short) / (lens[1] - lens[0]), t_short
+        return f
+    t = per_iter_cost(make_f, args, lens=lens)
+    print(f"{name}: {t*1e3:8.3f} ms/iter   {note}")
+    return t
+
+
+def opaque_shift(c):
+    """Runtime-0 int the compiler can't fold (defeats hoisting)."""
+    lead = c
+    while lead.ndim > 0:
+        lead = lead[0]
+    return (lead > 1e30).astype(jnp.int32)
 
 
 def main():
     print("device:", jax.devices()[0])
     dt = jnp.float32
     rng = np.random.default_rng(0)
+    Nd = 1_073_733          # bench-scale P2 elasticity DOFs
+    N = 357_911             # nodes
+    E = 257_250             # tets
 
-    # dispatch floor (varied input)
-    f = jax.jit(lambda s: s * 2.0)
-    t = time_varied(lambda s: f(s), ())
-    print(f"dispatch floor (varied): {t*1e3:.2f} ms")
+    # trivial body -> scan-iteration floor
+    scan_bench("scan floor (trivial)", lambda c, s: c * s,
+               lambda s: jnp.zeros((8, 128), dt) + s, ())
 
-    # scan loop overhead, trivial body
-    per, base = scan_cost(lambda c, s: c * s, lambda s: jnp.zeros(8, dt) + s,
-                          ())
-    print(f"scan trivial body: {per*1e3:.4f} ms/iter (short-call {base*1e3:.1f} ms)")
+    # elementwise passes: flat vs [N, 3]
+    v = jnp.asarray(rng.standard_normal(Nd), dt)
+    scan_bench("axpy flat [1.07M]", lambda c, s, v: c * s + 0.5 * v,
+               lambda s, v: v * s, (v,), "expect ~0.02 ms (8.6MB)")
+    v3 = jnp.asarray(rng.standard_normal((N, 3)), dt)
+    scan_bench("axpy [358k, 3]", lambda c, s, v: c * s + 0.5 * v,
+               lambda s, v: v * s, (v3,), "42x lane padding if ~0.4 ms")
 
-    # HBM bandwidth: axpy on 128 MB
-    N = 1 << 25
-    a = jnp.ones(N, dt)
-    per, base = scan_cost(lambda c, s, a: c * s + 1.5 * a,
-                          lambda s, a: a * s, (a,))
-    gb = 3 * N * 4 / 1e9
-    print(f"axpy 128MB: {per*1e3:.3f} ms/iter -> {gb/per:.0f} GB/s")
+    # dots (CG has 2/iter)
+    scan_bench("vdot flat [1.07M]",
+               lambda c, s, v: c * s + jnp.vdot(v + c[0], v) * 1e-12,
+               lambda s, v: jnp.zeros(8, dt) + s, (v,))
 
-    # elasticity-sized axpy [357911, 3]
-    v = jnp.ones((357911, 3), dt)
-    per, base = scan_cost(lambda c, s, v: c * s + 1.5 * v,
-                          lambda s, v: v * s, (v,))
-    print(f"axpy [357911,3]: {per*1e3:.4f} ms/iter")
+    # gathers at EBE scale
+    u3 = jnp.asarray(rng.standard_normal((N, 3)), dt)
+    idx = jnp.asarray(rng.integers(0, N, E * 10), jnp.int32)
 
-    # gather: rows vs width
-    Nrows = 360_000
-    for R, W in [(2_600_000, 3), (650_000, 3), (650_000, 24), (650_000, 96),
-                 (160_000, 24), (160_000, 96), (45_000, 96)]:
-        tbl = jnp.asarray(rng.standard_normal((Nrows, W)), dt)
-        idx = jnp.asarray(rng.integers(0, Nrows, R), jnp.int32)
+    def g3(c, s, u3, idx):
+        return c * 0.999 + u3[idx + opaque_shift(c)] * 1e-9
+    scan_bench("gather 2.57M rows from [N,3]", g3,
+               lambda s, u3, idx: jnp.zeros((E * 10, 3), dt) + s,
+               (u3, idx), lens=(2, 10))
 
-        def body(c, s, tbl, idx):
-            return c * s + tbl[idx].sum(axis=0)
-        per, _ = scan_cost(body, lambda s, tbl, idx: jnp.zeros(W, dt) + s,
-                           (tbl, idx))
-        print(f"gather R={R:>9,} W={W:>3}: {per*1e3:7.3f} ms/iter "
-              f"({per/R*1e9:6.2f} ns/row, {R*W*4/per/1e9:7.1f} GB/s)")
+    u1 = jnp.asarray(rng.standard_normal(Nd), dt)
+    idx1 = jnp.asarray(rng.integers(0, Nd, 7_700_000), jnp.int32)
 
-    # gather straight into [R, W] output (no reduction) — the EBE shape
-    R, W = 2_600_000, 3
-    tbl = jnp.asarray(rng.standard_normal((Nrows, W)), dt)
-    idx = jnp.asarray(rng.integers(0, Nrows, R), jnp.int32)
+    def g1(c, s, u1, idx1):
+        return c * 0.999 + u1[idx1 + opaque_shift(c)] * 1e-9
+    scan_bench("gather 7.7M scalars from flat", g1,
+               lambda s, u1, i: jnp.zeros(7_700_000, dt) + s,
+               (u1, idx1), lens=(2, 10))
 
-    def body(c, s, tbl, idx):
-        return c * s + tbl[idx]
-    per, _ = scan_cost(body, lambda s, tbl, idx: jnp.zeros((R, W), dt) + s,
-                       (tbl, idx))
-    print(f"gather->materialize R={R:,} W={W}: {per*1e3:.3f} ms/iter "
-          f"({per/R*1e9:.2f} ns/row)")
+    u128 = jnp.asarray(rng.standard_normal((Nd // 128, 128)), dt)
+    i128 = jnp.asarray(rng.integers(0, Nd // 128, 60_000), jnp.int32)
 
-    # segment_sum vs pyramid
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    from meshfem_tpu.sparse.scatter import ScatterPlan
-    R, Nseg, W = 2_600_000, 360_000, 3
-    ids_np = np.sort(rng.integers(0, Nseg, R)).astype(np.int32)
-    vals = jnp.asarray(rng.standard_normal((R, W)), dt)
-    ids = jnp.asarray(ids_np)
+    def g128(c, s, u, i):
+        return c * 0.999 + u[i + opaque_shift(c)] * 1e-9
+    scan_bench("gather 60k rows x128", g128,
+               lambda s, u, i: jnp.zeros((60_000, 128), dt) + s,
+               (u128, i128), lens=(2, 10))
 
-    def body(c, s, vals, ids):
-        return c * s + jax.ops.segment_sum(vals, ids, num_segments=Nseg)
-    per, _ = scan_cost(body, lambda s, v, i: jnp.zeros((Nseg, W), dt) + s,
-                       (vals, ids))
-    print(f"segment_sum R={R:,} W={W}: {per*1e3:.3f} ms/iter")
-
-    plan = ScatterPlan.build(ids_np, Nseg)
-
-    def body2(c, s, vals, plan):
-        return c * s + plan(vals)
-    per, _ = scan_cost(body2, lambda s, v, p: jnp.zeros((Nseg, W), dt) + s,
-                       (vals, plan))
-    print(f"pyramid     R={R:,} W={W}: {per*1e3:.3f} ms/iter")
-
-    # EBE einsum
-    E = 257_250
+    # batched einsum at EBE scale
     Ke = jnp.asarray(rng.standard_normal((E, 30, 30)), dt)
     ue = jnp.asarray(rng.standard_normal((E, 30)), dt)
 
-    def body3(c, s, Ke, ue):
-        return c * s + jnp.einsum("eij,ej->ei", Ke, ue)
-    per, _ = scan_cost(body3, lambda s, K, u: u * s, (Ke, ue))
-    by = E * 900 * 4
-    print(f"EBE einsum [E,30,30]x[E,30]: {per*1e3:.3f} ms/iter "
-          f"({by/per/1e9:.0f} GB/s)")
+    def ein(c, s, Ke, ue):
+        return c * s + jnp.einsum("eij,ej->ei", Ke, ue + c * 1e-9)
+    scan_bench("EBE einsum [E,30,30]x[E,30]", ein,
+               lambda s, K, u: u * s, (Ke, ue), "925MB -> ~2.5 ms @377GB/s",
+               lens=(2, 10))
 
-    # GBELL-shaped batched block matvec
-    G, Lb, B = 45_000, 14, 24
-    Blk = jnp.asarray(rng.standard_normal((G, Lb, B, B)), dt)
-    up = jnp.asarray(rng.standard_normal((G, Lb, B)), dt)
+    # big matmul
+    M = 2048
+    A = jnp.asarray(rng.standard_normal((M, M)) * 1e-2, dt)
 
-    def body4(c, s, Blk, up):
-        return c * s + jnp.einsum("glab,glb->ga", Blk, up)
-    per, _ = scan_cost(body4, lambda s, B_, u: jnp.zeros((G, B), dt) + s,
-                       (Blk, up))
-    by = G * Lb * B * B * 4
-    print(f"GBELL einsum [G,{Lb},24,24]: {per*1e3:.3f} ms/iter "
-          f"({by/per/1e9:.0f} GB/s)")
-
-    # MXU matmul
-    M = 4096
-    A = jnp.asarray(rng.standard_normal((M, M)), dt)
-
-    def body5(c, s, A):
-        return (c * s) @ A * 1e-3
-    per, _ = scan_cost(body5, lambda s, A: A * s, (A,))
-    print(f"matmul {M}^3: {per*1e3:.3f} ms/iter ({2*M**3/per/1e12:.1f} TFLOP/s f32)")
-
-    # full current EBE apply (gather + einsum + pyramid) at bench scale
-    n_nodes = 357_911
-    ed = jnp.asarray(rng.integers(0, n_nodes, (E, 10)), jnp.int32)
-    from meshfem_tpu.sparse.ebe import EBEKernel
-    kern = EBEKernel.build(Ke, ed, n_nodes, 1)  # scalar-ish shape probe
-    u1 = jnp.ones((n_nodes, 3), dt)
-    # vector d=3 real kernel: Ke is [E,30,30], elem_dofs [E,10], d=3
-    kern3 = EBEKernel.build(Ke, ed, n_nodes, 3)
-
-    def body6(c, s, kern3):
-        return c * s + kern3(c)
-    per, _ = scan_cost(body6, lambda s, k: u1 * s, (kern3,))
-    print(f"EBE full apply (gather+einsum+pyramid): {per*1e3:.3f} ms/iter")
+    def mm(c, s, A):
+        return (c * s) @ A
+    scan_bench("matmul 2048^3", mm, lambda s, A: A * s, (A,),
+               "0.57 ms = 30 TFLOP/s f32")
 
 
 if __name__ == "__main__":

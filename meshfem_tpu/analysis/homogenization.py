@@ -58,11 +58,19 @@ def canonical_strain(dim: int, i: int, dtype=jnp.float64):
 
 
 def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
-                        maxiter: int = 100000):
-    """Solve the fl(N) cell problems on a periodic simulator.
+                        maxiter: int = 100000, precond: str = "block",
+                        chebyshev_degree: int = 6):
+    """Solve the fl(N) cell problems on a periodic simulator — as ONE block
+    CG over all fl right-hand sides (the EBE kernel's gathers are row-count
+    bound, so the multi-RHS solve costs barely more than a single one).
 
     ``sim`` must have been built with a periodic dof_map (see
-    :func:`periodic_simulator`).  Returns (w [fl, N, dim], iters list)."""
+    :func:`periodic_simulator`).  ``precond``: 'jacobi' | 'block' (d x d
+    node blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
+    preconditioned operator — the high-contrast workhorse).
+    Returns (w [fl, N, dim], iters list)."""
+    from ..solvers import precond as pc
+
     dim = sim.dim
     fl = flat_len(dim)
     # Translation-invariance: project translations out of the periodic
@@ -71,19 +79,29 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     # projection is exact mean subtraction — no QR, bit-accurate on TPU
     # (an inexact projector lets the singular system's null component grow).
     project = lambda v: v - jnp.mean(v, axis=0, keepdims=True)
-    diag = sim.K_diagonal()
-    safe = jnp.where(diag > 0, diag, 1.0)
-    M_inv = lambda r: r / safe
+    if precond == "jacobi":
+        diag = sim.K_diagonal()
+        safe = jnp.where(diag > 0, diag, 1.0)
+        M_inv = lambda r: r / (safe if r.ndim == 2 else safe[..., None])
+    else:
+        blocks = pc.node_block_diagonal(sim.Ke, sim.elem_dofs, sim.num_dofs,
+                                        dim)
+        M_inv = pc.block_jacobi_apply(pc.block_jacobi_inv(blocks))
+        if precond == "chebyshev":
+            Ap = lambda v: project(sim.apply_K(v))
+            Mp = lambda r: project(M_inv(r))
+            lmax = pc.estimate_lambda_max(Ap, Mp, (sim.num_dofs, dim),
+                                          dtype=sim.Ke.dtype)
+            M_inv = pc.chebyshev_preconditioner(
+                Ap, M_inv, lmax, degree=chebyshev_degree, project=project)
 
-    ws, iters = [], []
-    for i in range(fl):
-        rhs = sim.constant_strain_load(-canonical_strain(dim, i,
-                                                         sim.Ke.dtype))
-        res = cg_mod.cg(sim.apply_K, rhs, M_inv=M_inv, project=project,
-                        tol=tol, maxiter=maxiter)
-        ws.append(res.x[jnp.asarray(sim.dof_map)])
-        iters.append(int(res.iters))
-    return jnp.stack(ws), iters
+    B = jnp.stack([sim.constant_strain_load(
+        -canonical_strain(dim, i, sim.Ke.dtype)) for i in range(fl)],
+        axis=-1)                                           # [Nd, dim, fl]
+    res = cg_mod.cg_block(sim.apply_K, B, M_inv=M_inv, project=project,
+                          tol=tol, maxiter=maxiter)
+    w = jnp.moveaxis(res.x, -1, 0)[:, jnp.asarray(sim.dof_map)]
+    return w, [int(res.iters)] * fl
 
 
 def periodic_simulator(mesh: FEMMesh, material, cell: BBox | None = None,

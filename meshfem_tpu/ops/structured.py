@@ -37,7 +37,7 @@ _CHANNEL_BITS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
 _BITS_TO_CH = {b: i for i, b in enumerate(_CHANNEL_BITS)}
 
 
-def _build_facet_corrections(slots, K_cube, n):
+def _build_facet_corrections(slots, K_cube, n3):
     """Inclusion-exclusion boundary correction as translation-invariant
     facet kernels: the fake-cube shell decomposes into 6 face planes
     (counted +1), 12 edge lines (-1, double-counted by faces) and 8
@@ -62,7 +62,7 @@ def _build_facet_corrections(slots, K_cube, n):
                 #          (owner cell n).
                 fixed = {}
                 for a, s in zip(fixed_axes, sides):
-                    fixed[a] = (0 if s < 0 else n, 1 if s < 0 else 0)
+                    fixed[a] = (0 if s < 0 else n3[a], 1 if s < 0 else 0)
                 shape = tuple([3] * len(free_axes)) + (24, 24)
                 W = np.zeros(shape)
                 for a, (oa, ca) in enumerate(slots):
@@ -81,10 +81,45 @@ def _build_facet_corrections(slots, K_cube, n):
     return out
 
 
-def _cube_mesh_and_stiffness(h: float, D):
-    """One unit cube (spacing h), Kuhn-subdivided, P2: returns
+def _pack_z_kernel(K, P: int):
+    """Fold the z spatial axis of a stencil kernel into channel blocks.
+
+    K [..., 3, 24, 24] (last spatial axis = z offset, HWIO-style in/out) ->
+    [..., 3, 24*P, 24*P] over z-GROUP offsets: channel block zl holds the
+    24 node-class x component channels of z-layer zl within a group of P
+    consecutive z cells.  Lane-packing rationale: XLA:TPU pads the channel
+    dim to 128 lanes, so 24-channel convs waste 5.3x memory bandwidth and
+    MXU occupancy; P=5 gives 120 channels (~full lanes)."""
+    K = np.asarray(K, np.float64)
+    lead = K.shape[:-3]
+    C = 24 * P
+    W = np.zeros(lead + (3, C, C))
+    for zo in range(P):
+        for dz in range(3):
+            t = zo + dz - 1
+            dg = t // P
+            zi = t % P
+            W[..., dg + 1, zi * 24:(zi + 1) * 24, zo * 24:(zo + 1) * 24] \
+                += K[..., dz, :, :]
+    return W
+
+
+def _conv2(x, W):
+    return jax.lax.conv_general_dilated(
+        x[None], W, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+
+
+def _conv1(x, W):
+    return jax.lax.conv_general_dilated(
+        x[None], W, (1,), "SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"))[0]
+
+
+def _cube_mesh_and_stiffness(h3, D):
+    """One cell (per-axis spacings h3), Kuhn-subdivided, P2: returns
     (node_slots [27] as (owner_offset [3], channel), K_cube [81, 81])."""
-    V, T = generators.grid_tet(1, 1, 1, hi=(h, h, h))
+    V, T = generators.grid_tet(1, 1, 1, hi=tuple(h3))
     mesh = FEMMesh(V, T, degree=2)
     assert mesh.num_nodes == 27
     g = mesh.geometry()
@@ -94,8 +129,9 @@ def _cube_mesh_and_stiffness(h: float, D):
     K_cube = np.asarray(
         assembly.assemble_scipy(np.asarray(Ke), mesh.elem_nodes,
                                 mesh.num_nodes, d=3).todense())
-    # Classify each node by quantized position (units of h/2).
-    q = np.round(np.asarray(mesh.node_positions) / (h / 2)).astype(int)
+    # Classify each node by quantized position (units of h/2 per axis).
+    q = np.round(np.asarray(mesh.node_positions)
+                 / (np.asarray(h3) / 2)).astype(int)
     slots = []
     for i in range(27):
         owner = q[i] // 2
@@ -113,7 +149,7 @@ class StructuredP2Elasticity:
     conv - shell correction -> back.  ``node_slot`` maps FEMMesh node ids
     to flat channel-space indices."""
 
-    n: int
+    n3: tuple                  # cells per axis (nx, ny, nz)
     kernel: jnp.ndarray        # [3, 3, 3, 24, 24]
     K_cube: jnp.ndarray        # [81, 81] for the shell correction
     node_slot: jnp.ndarray     # [N] -> flat channel index
@@ -128,11 +164,12 @@ class StructuredP2Elasticity:
         if mesh.K != 3 or mesh.degree != 2:
             raise ValueError("structured path supports P2 tets")
         bb = mesh.bbox()
-        # infer n from vertex count
-        nv = round(len(mesh.V) ** (1 / 3)) - 1
-        n = nv
-        h = float(bb.dimensions[0]) / n
-        slots, K_cube = _cube_mesh_and_stiffness(h, jnp.asarray(D))
+        # infer per-axis cell counts from distinct vertex coordinates
+        Vv = np.asarray(mesh.V)
+        n3 = tuple(len(np.unique(np.round(Vv[:, a], 9))) - 1
+                   for a in range(3))
+        h3 = tuple(float(bb.dimensions[a]) / n3[a] for a in range(3))
+        slots, K_cube = _cube_mesh_and_stiffness(h3, jnp.asarray(D))
 
         # Conv kernel: rhs[dz+1, dy+1, dx+1, in=cb*3+j, out=ca*3+i]
         # f[c, ca] += K[a, b] u[c + (ob - oa), cb]  for cube at e = c - oa.
@@ -144,35 +181,36 @@ class StructuredP2Elasticity:
                 kernel[d[0] + 1, d[1] + 1, d[2] + 1,
                        cb * 3:(cb + 1) * 3, ca * 3:(ca + 1) * 3] += blk.T
         # Node id <-> channel slot mapping by position.
-        m = n + 1
+        mx, my, mz = (n3[0] + 1, n3[1] + 1, n3[2] + 1)
         q = np.round(np.asarray(mesh.node_positions - bb.min)
-                     / (h / 2)).astype(np.int64)
+                     / (np.asarray(h3) / 2)).astype(np.int64)
         owner = q // 2
         bits = q % 2
         ch = np.array([_BITS_TO_CH[tuple(b)] for b in bits], dtype=np.int64)
-        cell_flat = (owner[:, 0] * m + owner[:, 1]) * m + owner[:, 2]
+        cell_flat = (owner[:, 0] * my + owner[:, 1]) * mz + owner[:, 2]
         node_slot = cell_flat * 8 + ch            # slot index (node-level)
-        n_slots = m * m * m * 8
+        n_slots = mx * my * mz * 8
         slot_node = np.full(n_slots, -1, dtype=np.int64)
         slot_node[node_slot] = np.arange(mesh.num_nodes)
 
         # Fake cubes: cells in [-1, n]^3 \ [0, n-1]^3 owning in-grid slots.
-        rng = np.arange(-1, n + 1)
-        cells = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+        rngs = [np.arange(-1, n3[a] + 1) for a in range(3)]
+        cells = np.stack(np.meshgrid(*rngs, indexing="ij"),
                          axis=-1).reshape(-1, 3)
-        real = np.all((cells >= 0) & (cells <= n - 1), axis=1)
+        nv3 = np.asarray(n3)
+        real = np.all((cells >= 0) & (cells <= nv3 - 1), axis=1)
         fake = cells[~real]
         # keep only fake cubes that touch >= 1 in-grid slot
         offsets = np.asarray([s[0] for s in slots])
         chans = np.asarray([s[1] for s in slots])
         slot_cells = fake[:, None, :] + offsets[None, :, :]   # [nf, 27, 3]
-        in_grid = np.all((slot_cells >= 0) & (slot_cells <= n), axis=2)
+        in_grid = np.all((slot_cells >= 0) & (slot_cells <= nv3), axis=2)
         # Out-of-grid slots are masked to zero and their (zero) rows are
         # spread uniformly over all segments — concentrating them in one
         # segment would explode the scatter plan's padded level-2 size
         # (g2 = max contributions per segment) to gigabytes.
-        sc = np.clip(slot_cells, 0, n)
-        flat = ((sc[:, :, 0] * m + sc[:, :, 1]) * m + sc[:, :, 2]) * 8 \
+        sc = np.clip(slot_cells, 0, nv3)
+        flat = ((sc[:, :, 0] * my + sc[:, :, 1]) * mz + sc[:, :, 2]) * 8 \
             + chans[None, :]
         touch = in_grid.any(axis=1)
         fake_slots = np.where(in_grid, flat, 0)[touch]            # [nf, 27]
@@ -188,7 +226,7 @@ class StructuredP2Elasticity:
             % len(shell)
         compact = np.where(fake_mask.reshape(-1), compact, spread)
         plan = ScatterPlan.build(compact, len(shell))
-        obj = cls(n, jnp.asarray(kernel, dtype=dtype),
+        obj = cls(n3, jnp.asarray(kernel, dtype=dtype),
                   jnp.asarray(K_cube, dtype=dtype),
                   jnp.asarray(node_slot), jnp.asarray(slot_node),
                   jnp.asarray(fake_slots), plan, mesh.num_nodes)
@@ -196,15 +234,156 @@ class StructuredP2Elasticity:
         obj.shell_slots = jnp.asarray(shell)
         obj.facets = [(f, sgn, W.astype(dtype) if dtype else W)
                       for f, sgn, W in
-                      _build_facet_corrections(slots, K_cube, n)]
+                      _build_facet_corrections(slots, K_cube, n3)]
+        obj._build_packed()
         return obj
+
+    # ------------------------------------------------------------------
+    # Lane-packed fast path: z-layers folded into ~128 channels.
+    # The hot CG loop runs entirely on [m, m, G, 24*P] tensors (P=5 ->
+    # 120 channels), so the volume stencil is ONE MXU-dense conv and no
+    # tensor in the loop wastes lane padding (a [*, 24] layout pads
+    # 24 -> 128 lanes = 5.3x memory; [*, 3] wastes 42x).
+    # ------------------------------------------------------------------
+    def _build_packed(self, P: int = 5):
+        mx, my, mz = (self.n3[0] + 1, self.n3[1] + 1, self.n3[2] + 1)
+        G = -(-mz // P)
+        C = 24 * P
+        self.P, self.G, self.C = P, G, C
+        dt = self.kernel.dtype
+        self.kernel_packed = jnp.asarray(
+            _pack_z_kernel(np.asarray(self.kernel), P), dt)
+
+        def pack_index(ns):
+            ch = ns % 8
+            cf = ns // 8
+            oz = cf % mz
+            oy = (cf // mz) % my
+            ox = cf // (mz * my)
+            return ((ox * my + oy) * G + oz // P) * (8 * P) \
+                + (oz % P) * 8 + ch
+
+        # node -> packed node-level slot ((x*my + y)*G + g)*8P + zl*8 + ch
+        self.node_pslot = jnp.asarray(pack_index(np.asarray(self.node_slot)))
+        # old channel slot -> packed node-level slot (for diagonals/masks)
+        self._slot_pslot = jnp.asarray(
+            pack_index(np.arange(mx * my * mz * 8)))
+        # facet kernels repacked; sign folded in
+        packed = []
+        for fixed, sgn, W in self.facets:
+            W = np.asarray(W, np.float64) * sgn
+            axes = tuple(sorted(fixed))
+            co = {a: int(fixed[a][0]) for a in axes}
+            if axes == (0,):
+                packed.append(("fx", (co[0],), _pack_z_kernel(W, P)))
+            elif axes == (1,):
+                packed.append(("fy", (co[1],), _pack_z_kernel(W, P)))
+            elif axes == (2,):
+                packed.append(("fz", (co[2],), W))
+            elif axes == (0, 1):
+                packed.append(("exy", (co[0], co[1]), _pack_z_kernel(W, P)))
+            elif axes == (0, 2):
+                packed.append(("exz", (co[0], co[2]), W))
+            elif axes == (1, 2):
+                packed.append(("eyz", (co[1], co[2]), W))
+            else:
+                packed.append(("corner", (co[0], co[1], co[2]), W))
+        self.packed_facets = [(k, c, jnp.asarray(W, dt)) for k, c, W in packed]
+
+    def to_packed(self, u):
+        """u [N, 3] -> packed channel tensor [mx, my, G, 24*P]."""
+        mx, my = self.n3[0] + 1, self.n3[1] + 1
+        G = self.G
+        z = jnp.zeros((mx * my * G * 8 * self.P, u.shape[-1]), dtype=u.dtype)
+        return z.at[self.node_pslot].set(u).reshape(mx, my, G, self.C)
+
+    def from_packed(self, xp):
+        return xp.reshape(-1, 3)[self.node_pslot]
+
+    def pack_slots(self, arr):
+        """Old channel-space [n_slots, k] -> packed [mx, my, G, ...]."""
+        mx, my = self.n3[0] + 1, self.n3[1] + 1
+        G = self.G
+        z = jnp.zeros((mx * my * G * 8 * self.P, arr.shape[-1]),
+                      dtype=arr.dtype)
+        return z.at[self._slot_pslot].set(arr).reshape(
+            mx, my, G, 8 * self.P * arr.shape[-1])
+
+    def valid_mask_packed(self):
+        v = (self.slot_node >= 0).astype(self.kernel.dtype)
+        return self.pack_slots(jnp.repeat(v[:, None], 3, axis=1))
+
+    def diagonal_packed(self):
+        return self.pack_slots(self.diagonal_channels())
+
+    def apply_packed(self, xp):
+        """A u on the packed tensor: one dense-channel volume conv minus
+        boundary-plane corrections (small convs on 4 planes + 2 channel
+        slices)."""
+        dt = xp.dtype
+        y = jax.lax.conv_general_dilated(
+            xp[None], self.kernel_packed.astype(dt), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
+        return y - self._facet_correction_packed(xp)
+
+    def _facet_correction_packed(self, xp):
+        """Correction accumulated into 4 boundary planes (x = 0/n, y = 0/n)
+        and 2 z channel-slices, then added to the full tensor with 6
+        dynamic-update adds (each .at add on the full tensor copies it, so
+        facets are grouped per plane first)."""
+        G, C, P = self.G, self.C, self.P
+        mx, my = self.n3[0] + 1, self.n3[1] + 1
+        nx, ny = self.n3[0], self.n3[1]
+        dt = xp.dtype
+        px = {0: jnp.zeros((my, G, C), dt), nx: jnp.zeros((my, G, C), dt)}
+        py = {0: jnp.zeros((mx, G, C), dt), ny: jnp.zeros((mx, G, C), dt)}
+        pz = {}
+        for kind, co, W in self.packed_facets:
+            W = W.astype(dt)
+            if kind == "fx":
+                xc, = co
+                px[xc] = px[xc] + _conv2(xp[xc], W)
+            elif kind == "fy":
+                yc, = co
+                py[yc] = py[yc] + _conv2(xp[:, yc], W)
+            elif kind == "fz":
+                zc, = co
+                g, zl = divmod(zc, P)
+                sub = xp[:, :, g, zl * 24:(zl + 1) * 24]
+                pz[(g, zl)] = pz.get((g, zl), 0.0) + _conv2(sub, W)
+            elif kind == "exy":
+                xc, yc = co
+                d = _conv1(xp[xc, yc], W)                  # [G, C]
+                px[xc] = px[xc].at[yc].add(d)
+            elif kind == "exz":
+                xc, zc = co
+                g, zl = divmod(zc, P)
+                d = _conv1(xp[xc, :, g, zl * 24:(zl + 1) * 24], W)  # [m,24]
+                px[xc] = px[xc].at[:, g, zl * 24:(zl + 1) * 24].add(d)
+            elif kind == "eyz":
+                yc, zc = co
+                g, zl = divmod(zc, P)
+                d = _conv1(xp[:, yc, g, zl * 24:(zl + 1) * 24], W)
+                py[yc] = py[yc].at[:, g, zl * 24:(zl + 1) * 24].add(d)
+            else:  # corner
+                xc, yc, zc = co
+                g, zl = divmod(zc, P)
+                d = xp[xc, yc, g, zl * 24:(zl + 1) * 24] @ W
+                px[xc] = px[xc].at[yc, g, zl * 24:(zl + 1) * 24].add(d)
+        total = jnp.zeros_like(xp)
+        for xc, plane in px.items():
+            total = total.at[xc].add(plane)
+        for yc, plane in py.items():
+            total = total.at[:, yc].add(plane)
+        for (g, zl), plane in pz.items():
+            total = total.at[:, :, g, zl * 24:(zl + 1) * 24].add(plane)
+        return total
 
     # -- channel-space transforms ---------------------------------------
     def to_channels(self, u):
         """u [N, 3] -> [n_slots, 3] channel-space (dead slots zero)."""
-        m = self.n + 1
-        n_slots = m * m * m * 8
-        z = jnp.zeros((n_slots, u.shape[-1]), dtype=u.dtype)
+        mx, my, mz = (self.n3[0] + 1, self.n3[1] + 1, self.n3[2] + 1)
+        z = jnp.zeros((mx * my * mz * 8, u.shape[-1]), dtype=u.dtype)
         return z.at[self.node_slot].set(u)
 
     def from_channels(self, uc):
@@ -213,12 +392,15 @@ class StructuredP2Elasticity:
     def apply_channels(self, uc):
         """A u in channel space: uniform conv minus facet corrections
         (all slice-based — the apply contains no gather/scatter at all)."""
-        m = self.n + 1
-        x = uc.reshape(m, m, m, 24)[None]
+        mx, my, mz = (self.n3[0] + 1, self.n3[1] + 1, self.n3[2] + 1)
+        x = uc.reshape(mx, my, mz, 24)[None]
         y = jax.lax.conv_general_dilated(
             x, self.kernel.astype(uc.dtype), window_strides=(1, 1, 1),
             padding="SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        y4 = y[0] - self._facet_correction(x[0])
+        if self.n3[0] == self.n3[1] == self.n3[2]:
+            y4 = y[0] - self._facet_correction(x[0])
+        else:  # grouped facet convs need equal plane shapes; fall back
+            y4 = y[0] - self._gather_correction_reference(uc).reshape(x[0].shape)
         return y4.reshape(-1, 3)
 
     def _facet_correction(self, uc4):
@@ -282,7 +464,7 @@ class StructuredP2Elasticity:
 
     def __call__(self, u):
         """A u for nodal u [N, 3] (validated against the EBE operator)."""
-        return self.from_channels(self.apply_channels(self.to_channels(u)))
+        return self.from_packed(self.apply_packed(self.to_packed(u)))
 
     def valid_mask(self):
         """[n_slots, 1] 1.0 on live channel slots, 0.0 on dead ones (the
@@ -291,42 +473,42 @@ class StructuredP2Elasticity:
 
     def solve_cg(self, b, fixed_mask=None, fixed_values=None,
                  tol: float = 1e-10, maxiter: int = 20000):
-        """Jacobi-PCG entirely in channel space.  b [N, 3] nodal RHS;
-        fixed_mask/values [N, 3] optional Dirichlet.  Returns (u [N, 3],
-        CGResult)."""
+        """Jacobi-PCG entirely in the lane-packed channel space.  b [N, 3]
+        nodal RHS; fixed_mask/values [N, 3] optional Dirichlet.  Returns
+        (u [N, 3], CGResult)."""
         from ..solvers import cg as cg_mod
 
-        bc = self.to_channels(jnp.asarray(b))
-        valid = self.valid_mask().astype(bc.dtype)
+        bc = self.to_packed(jnp.asarray(b))
+        valid = self.valid_mask_packed().astype(bc.dtype)
         if fixed_mask is not None:
-            freec = self.to_channels(
+            freec = self.to_packed(
                 (~jnp.asarray(fixed_mask)).astype(bc.dtype)) * valid
         else:
-            freec = jnp.broadcast_to(valid, bc.shape) * valid
-        diag = self.diagonal_channels().astype(bc.dtype)
+            freec = valid
+        diag = self.diagonal_packed().astype(bc.dtype)
         safe = jnp.where(diag > 0, diag, 1.0)
         project = lambda v: v * freec
         M_inv = lambda r: r / safe
         u_d = None
         if fixed_values is not None:
-            u_d = self.to_channels(jnp.asarray(fixed_values)) * (1 - freec)
-            bc = bc - self.apply_channels(u_d)
-        res = cg_mod.cg(self.apply_channels, bc, M_inv=M_inv,
+            u_d = self.to_packed(jnp.asarray(fixed_values)) * (1 - freec)
+            bc = bc - self.apply_packed(u_d)
+        res = cg_mod.cg(self.apply_packed, bc, M_inv=M_inv,
                         project=project, tol=tol, maxiter=maxiter)
         x = res.x if u_d is None else res.x + u_d
-        return self.from_channels(x), res
+        return self.from_packed(x), res
 
     def diagonal_channels(self):
         """Diagonal of the channel-space operator (Jacobi) — via applying
         to basis-indicator blocks would be exact but expensive; instead
         assemble from K_cube analytically."""
-        m = self.n + 1
-        n_slots = m * m * m * 8
+        mx, my, mz = (self.n3[0] + 1, self.n3[1] + 1, self.n3[2] + 1)
+        n_slots = mx * my * mz * 8
         # Uniform interior diagonal per channel from the conv kernel center:
         diag = jnp.stack([jnp.diagonal(
             self.kernel[1, 1, 1, c * 3:(c + 1) * 3, c * 3:(c + 1) * 3])
             for c in range(8)])                       # [8, 3]
-        full = jnp.tile(diag[None, :, :], (m * m * m, 1, 1)).reshape(
+        full = jnp.tile(diag[None, :, :], (mx * my * mz, 1, 1)).reshape(
             n_slots, 3)
         # Correct the shell: subtract fake-cube diagonal contributions.
         Kd = jnp.diagonal(self.K_cube).reshape(27, 3)
@@ -342,17 +524,31 @@ class StructuredP2Elasticity:
         facet_kernels = tuple(W for _, _, W in self.facets)
         facet_meta = tuple((tuple(sorted(f.items())), s)
                            for f, s, _ in self.facets)
+        packed_kernels = tuple(W for _, _, W in self.packed_facets)
+        packed_meta = tuple((k, c) for k, c, _ in self.packed_facets)
+        nf = len(facet_kernels)
         leaves = (self.kernel, self.K_cube, self.node_slot, self.slot_node,
                   self.fake_slots, self.fake_plan, self.shell_slots,
-                  self.fake_mask) + facet_kernels
-        return leaves, (self.n, self.num_nodes, facet_meta)
+                  self.fake_mask, self.kernel_packed, self.node_pslot,
+                  self._slot_pslot) + facet_kernels + packed_kernels
+        return leaves, (self.n3, self.num_nodes, facet_meta, packed_meta,
+                        nf, self.P, self.G, self.C)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        obj = cls(aux[0], leaves[0], leaves[1], leaves[2], leaves[3],
-                  leaves[4], leaves[5], aux[1])
+        n3, num_nodes, facet_meta, packed_meta, nf, P, G, C = aux
+        obj = cls(n3, leaves[0], leaves[1], leaves[2], leaves[3],
+                  leaves[4], leaves[5], num_nodes)
         obj.shell_slots = leaves[6]
         obj.fake_mask = leaves[7]
+        obj.kernel_packed = leaves[8]
+        obj.node_pslot = leaves[9]
+        obj._slot_pslot = leaves[10]
+        obj.P, obj.G, obj.C = P, G, C
+        fk = leaves[11:11 + nf]
+        pk = leaves[11 + nf:]
         obj.facets = [(dict(meta[0]), meta[1], W)
-                      for meta, W in zip(aux[2], leaves[8:])]
+                      for meta, W in zip(facet_meta, fk)]
+        obj.packed_facets = [(k, c, W)
+                             for (k, c), W in zip(packed_meta, pk)]
         return obj

@@ -71,8 +71,12 @@ def cg(
     bnorm2 = _dot(b, b)
     stop2 = jnp.maximum(tol * tol * bnorm2, atol * atol)
 
-    STALL_WINDOW = 256   # iters without any best-residual improvement
-    DIVERGE_FACTOR = 1e4  # rr blowing past best by this factor = divergence
+    # Plain CG on kappa ~ 1e7 systems can plateau for hundreds of iterations
+    # and its l2 residual legitimately oscillates by ~sqrt(kappa) between
+    # drops, so both thresholds are generous; the roundoff-floor random walk
+    # they exist for grows by many orders of magnitude and still trips them.
+    STALL_WINDOW = 2048   # iters without any best-residual improvement
+    DIVERGE_FACTOR = 1e10
 
     def cond(state):
         x, r, z, p, gamma, k, done, rr_best, stall, x_best = state
@@ -115,8 +119,9 @@ def cg(
              jnp.asarray(False), rr0, jnp.asarray(0, dtype=jnp.int32), x0)
     (x, r, z, p, gamma, k, done, rr_best, stall, x_best) = \
         jax.lax.while_loop(cond, body, state)
-    # If we stopped abnormally, the tracked best iterate is the answer.
-    use_best = jnp.logical_and(done, rr_best < _dot(r, r))
+    # If the current iterate is worse than the tracked best (abnormal stop
+    # or maxiter during an oscillation), return the best.
+    use_best = rr_best < _dot(r, r)
     x = jnp.where(use_best, x_best, x)
     rnorm = jnp.sqrt(jnp.where(use_best, rr_best, _dot(r, r)))
     return CGResult(x, k, rnorm)
@@ -187,11 +192,16 @@ def cg_operator_fixed(op, b, diag, free_mask, *, iters: int = 100) -> CGResult:
 
 
 def mask_projector(free_mask):
-    """Projector zeroing fixed DOFs. free_mask broadcastable to the vector."""
+    """Projector zeroing fixed DOFs.  free_mask broadcasts against the
+    vector from the LEADING axes (trailing multi-RHS axes are appended),
+    so one mask serves [Nd, d] and block [Nd, d, m] vectors alike."""
     free_mask = jnp.asarray(free_mask)
 
     def project(v):
-        return v * free_mask.astype(v.dtype)
+        m = free_mask.astype(v.dtype)
+        if v.ndim > m.ndim:
+            m = m.reshape(m.shape + (1,) * (v.ndim - m.ndim))
+        return v * m
 
     return project
 
@@ -229,3 +239,54 @@ def solve_dirichlet(A, b, fixed_mask, fixed_values, **kw) -> CGResult:
                              else 1.0 - fixed_mask)
     res = cg(A, b - A(u_d), project=project, **kw)
     return CGResult(res.x + u_d, res.iters, res.resnorm)
+
+
+def cg_block(A, B, *, M_inv=None, project=None, tol: float = 1e-10,
+             maxiter: int = 10000):
+    """Block PCG: solve A X = B for ALL columns of B simultaneously with
+    per-column step sizes (independent Krylov spaces, shared operator).
+
+    B: [..., m] — the operator A, M_inv and project must accept the same
+    block shape (EBEKernel and the mask/mean projectors do).  One gather
+    per SpMV serves all m columns, so multi-RHS solves (homogenization's
+    3/6 cell problems, eigensolver blocks) cost barely more than one.
+    Converged columns freeze (their alpha/beta are zeroed)."""
+    if project is None:
+        project = lambda v: v
+    if M_inv is None:
+        M_inv = lambda v: v
+    axes = tuple(range(B.ndim - 1))
+
+    def cdot(a, b):
+        return jnp.sum(a * b, axis=axes)          # [m]
+
+    B = project(B)
+    x = jnp.zeros_like(B)
+    r = B
+    z = project(M_inv(r))
+    gamma = cdot(r, z)
+    stop2 = tol * tol * cdot(B, B)
+
+    def cond(state):
+        x, r, z, p, gamma, k = state
+        rr = cdot(r, r)
+        return jnp.logical_and(k < maxiter, jnp.any(rr > stop2))
+
+    def body(state):
+        x, r, z, p, gamma, k = state
+        live = (cdot(r, r) > stop2).astype(x.dtype)
+        Ap = project(A(p))
+        den = cdot(p, Ap)
+        alpha = live * gamma / jnp.where(den != 0, den, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = project(M_inv(r))
+        gamma_new = cdot(r, z)
+        beta = live * gamma_new / jnp.where(gamma != 0, gamma, 1.0)
+        p = z + beta * p
+        gamma = jnp.where(live > 0, gamma_new, gamma)
+        return (x, r, z, p, gamma, k + 1)
+
+    state = (x, r, z, z, gamma, jnp.asarray(0, jnp.int32))
+    x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, state)
+    return CGResult(x, k, jnp.sqrt(cdot(r, r)))

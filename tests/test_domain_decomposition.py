@@ -1,0 +1,98 @@
+"""Domain-decomposed multi-chip CG: partition invariance at >= 100k DOF and
+O(halo) communication volume (VERDICT round-1 item 3)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from meshfem_tpu.mesh import FEMMesh, generators
+from meshfem_tpu.physics import ElasticitySimulator, Material
+from meshfem_tpu.parallel.domain import DomainDecomposition, dd_cg_solve
+from meshfem_tpu.solvers import cg as cg_mod
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 16                                  # 107,811 dofs (>= 100k)
+    V, T = generators.grid_tet(n, n, n)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((sim.num_dofs, 3))
+    b[fixed] = 0.0
+    return sim, ~fixed, b
+
+
+def test_partition_invariance_and_halo_volume(problem):
+    sim, free, b = problem
+    assert sim.num_dofs * 3 >= 100_000
+
+    iters = 30
+    ref = cg_mod.cg_operator_fixed(
+        sim._kernel, jnp.asarray(b), sim.K_diagonal(),
+        jnp.asarray(free, jnp.float64), iters=iters)
+    u_ref = np.asarray(ref.x)
+
+    for S in (4, 8):
+        devs = np.asarray(jax.devices()[:S])
+        mesh2 = Mesh(devs, axis_names=("e",))
+        dd = DomainDecomposition.from_simulator(sim, S)
+        u, res2 = dd_cg_solve(mesh2, dd, b, free_mask=free, iters=iters)
+        np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-9,
+                                   atol=1e-9 * np.abs(u_ref).max(),
+                                   err_msg=f"S={S}")
+        # Communication is O(halo), not O(Nd): per-SpMV traffic must be a
+        # small fraction of the full vector.
+        vol = dd.comms_volume_per_spmv()
+        assert vol < 0.5 * sim.num_dofs * 3, (vol, sim.num_dofs * 3)
+        assert np.isfinite(float(res2))
+
+
+def test_dd_matches_dirichlet_solve_small():
+    """Converged DD solve == single-device Dirichlet solve (toy size)."""
+    V, T = generators.grid_tet(5, 5, 5)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 10.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    load = np.zeros((sim.num_dofs, 3))
+    load[mesh.nodes_in_box((1, 0, 0), (1, 1, 1)), 2] = -1.0
+    load[fixed] = 0.0
+
+    sim.fix_nodes(np.flatnonzero(fixed.any(axis=1)))
+    u_ref, _ = sim.solve(extra_load=jnp.asarray(load), tol=1e-12)
+
+    devs = np.asarray(jax.devices()[:8])
+    mesh2 = Mesh(devs, axis_names=("e",))
+    dd = DomainDecomposition.from_simulator(sim, 8)
+    u, _ = dd_cg_solve(mesh2, dd, load, free_mask=~fixed, iters=2000)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
+
+
+def test_dd_multi_rhs_and_rhs_axis():
+    """Block RHS solve on a 2D (domain x rhs) mesh matches per-column."""
+    V, T = generators.grid_tet(5, 5, 5)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 10.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((sim.num_dofs, 3, 3))
+    B[fixed] = 0.0
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, axis_names=("e", "b"))
+    dd = DomainDecomposition.from_simulator(sim, 4)
+    U, res2 = dd_cg_solve(mesh2, dd, B, free_mask=~fixed, iters=40,
+                          rhs_axis="b")
+    assert U.shape == B.shape and res2.shape == (3,)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:4]), axis_names=("e",))
+    for j in range(3):
+        uj, _ = dd_cg_solve(mesh1, dd, B[..., j], free_mask=~fixed, iters=40)
+        np.testing.assert_allclose(np.asarray(U[..., j]), np.asarray(uj),
+                                   rtol=1e-10, atol=1e-12)
