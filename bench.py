@@ -81,19 +81,28 @@ def main():
     M_fused = em.fused_matrix_for(D, 3, 2, dt)
     n_nodes_per_elem = 10
 
+    nd = n_nodes_per_elem * 3
+
     def mk_asm(L):
         @jax.jit
         def f(s, gl, vol, M_fused):
+            # The carry is a FULL [E, (nd)^2] accumulator: every Ke entry is
+            # written to HBM each iteration, so XLA cannot collapse the
+            # assembly through a linear reduction (sum(gg @ M) factors to
+            # sum(gg) @ M and reads as a fake 600M elem/s otherwise).  The
+            # measured rate therefore also pays an extra carry read —
+            # it is a LOWER bound on assembly throughput.
             def body(c, _):
                 Ke = em.element_elasticity_fused_apply(
-                    gl, vol * (s + c[0] * 1e-20), M_fused, n_nodes_per_elem)
-                return c * 0.5 + Ke[:2, 0, 0], None
-            return jax.lax.scan(body, jnp.zeros(2, dt) + s, None,
-                                length=L)[0]
+                    gl, vol * (s + c[0, 0] * 1e-20), M_fused,
+                    n_nodes_per_elem)
+                return c * 0.5 + Ke.reshape(E, nd * nd), None
+            c0 = jnp.zeros((E, nd * nd), dt) + s
+            return jax.lax.scan(body, c0, None, length=L)[0][:4, :4]
         return f
 
     t0 = time.time()
-    t_asm = per_iter(mk_asm, (gl, vol, M_fused), lens=(2, 12))
+    t_asm = per_iter(mk_asm, (gl, vol, M_fused), lens=(2, 10))
     timings["assembly_bench_s"] = round(time.time() - t0, 2)
     elems_per_s = E / t_asm
 
