@@ -203,9 +203,9 @@ def voxels_to_simplices(occupancy):
     return remove_dangling_vertices(V, T[keep])
 
 
-def quad_subdiv(V, Q):
-    """Quads -> triangles (``filters/quad_tri_subdiv.hh``): split along the
-    shorter diagonal."""
+def quad_tri_split_diagonal(V, Q):
+    """Quads -> triangles split along the shorter diagonal (convenience;
+    see quad_tri_subdiv / quad_tri_subdiv_asymmetric for reference parity)."""
     V = np.asarray(V)
     Q = np.asarray(Q)
     d02 = ((V[Q[:, 0]] - V[Q[:, 2]]) ** 2).sum(1)
@@ -292,3 +292,290 @@ def curve_cleanup(points, min_len: float = 0.0, collinear_tol: float = 1e-10,
                                               * np.linalg.norm(v), 1e-300):
             out.append(i)
     return P[out]
+
+
+# ---------------------------------------------------------------------------
+# Quad subdivision family (filters/quad_subdiv.hh, quad_tri_subdiv.hh,
+# quad_tri_subdiv_asymmetric.hh, quad_subdiv_high_aspect.hh)
+# ---------------------------------------------------------------------------
+
+def _quad_edge_midpoints(V, Q):
+    """Unique midpoint vertex per quad edge; returns (V2, mid [m, 4])."""
+    e = np.stack([Q, np.roll(Q, -1, axis=1)], axis=-1)      # [m, 4, 2]
+    key = np.sort(e.reshape(-1, 2), axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    V2 = np.vstack([V, 0.5 * (V[uniq[:, 0]] + V[uniq[:, 1]])])
+    return V2, (len(V) + inv).reshape(Q.shape)
+
+
+def quad_subdiv(V, Q, quad_idx=None):
+    """1 -> 4 quad refinement with shared edge midpoints + center vertex
+    (``filters/quad_subdiv.hh``).  Returns (V2, Q2 [4m, 4], quad_idx)."""
+    V = np.asarray(V)
+    Q = np.asarray(Q)
+    m = len(Q)
+    quad_idx = np.arange(m) if quad_idx is None else np.asarray(quad_idx)
+    V2, mid = _quad_edge_midpoints(V, Q)
+    c0 = len(V2)
+    V2 = np.vstack([V2, V[Q].mean(axis=1)])
+    cen = c0 + np.arange(m)
+    out = np.empty((m, 4, 4), dtype=Q.dtype)
+    for t in range(4):
+        out[:, t, 0] = Q[:, t]
+        out[:, t, 1] = mid[:, t]
+        out[:, t, 2] = cen
+        out[:, t, 3] = mid[:, (t + 3) % 4]
+    return V2, out.reshape(-1, 4), np.repeat(quad_idx, 4)
+
+
+def quad_tri_subdiv(V, Q, quad_idx=None):
+    """Symmetric quad -> 4 triangles via a center vertex
+    (``filters/quad_tri_subdiv.hh``).  Returns (V2, T [4m, 3], quad_idx)."""
+    V = np.asarray(V)
+    Q = np.asarray(Q)
+    m = len(Q)
+    quad_idx = np.arange(m) if quad_idx is None else np.asarray(quad_idx)
+    cen = len(V) + np.arange(m)
+    V2 = np.vstack([V, V[Q].mean(axis=1)])
+    T = np.empty((m, 4, 3), dtype=Q.dtype)
+    for t in range(4):
+        T[:, t, 0] = Q[:, t]
+        T[:, t, 1] = Q[:, (t + 1) % 4]
+        T[:, t, 2] = cen
+    return V2, T.reshape(-1, 3), np.repeat(quad_idx, 4)
+
+
+def quad_tri_subdiv_asymmetric(V, Q, quad_idx=None):
+    """Quad -> 2 triangles along the 0-2 diagonal
+    (``filters/quad_tri_subdiv_asymmetric.hh``)."""
+    V = np.asarray(V)
+    Q = np.asarray(Q)
+    m = len(Q)
+    quad_idx = np.arange(m) if quad_idx is None else np.asarray(quad_idx)
+    T = np.stack([Q[:, [0, 1, 2]], Q[:, [0, 2, 3]]], axis=1)
+    return V, T.reshape(-1, 3), np.repeat(quad_idx, 2)
+
+
+def quad_subdiv_high_aspect(V, Q, aspect_threshold: float = 2.0,
+                            quad_idx=None):
+    """Split high-aspect rectangular quads in half across their long axis,
+    with BFS conflict resolution so the quad mesh stays conforming
+    (``filters/quad_subdiv_high_aspect.hh``).  Returns
+    (V2, Q2, quad_idx, subdivided)."""
+    import collections
+
+    V = np.asarray(V, dtype=np.float64)
+    Q = np.asarray(Q)
+    m = len(Q)
+    old_idx = np.arange(m) if quad_idx is None else np.asarray(quad_idx)
+    if aspect_threshold <= np.sqrt(2) + 1e-8:
+        raise ValueError("aspect threshold must be > sqrt(2) for convergence")
+
+    def split_edges(e, sp):
+        return (tuple(sorted((e[sp], e[sp + 1]))),
+                tuple(sorted((e[sp + 2], e[(sp + 3) % 4]))))
+
+    split_pair = np.full(m, -1, dtype=np.int64)
+    want = {}
+    for i in range(m):
+        e = Q[i]
+        l0 = np.linalg.norm(V[e[1]] - V[e[0]])
+        l1 = np.linalg.norm(V[e[2]] - V[e[1]])
+        if l0 > aspect_threshold * l1:
+            split_pair[i] = 0
+        elif l1 > aspect_threshold * l0:
+            split_pair[i] = 1
+        if split_pair[i] < 0:
+            continue
+        for key in split_edges(e, split_pair[i]):
+            want.setdefault(key, []).append(i)
+
+    queue = collections.deque(k for k, v in want.items() if len(v) == 1)
+    while queue:
+        key = queue.popleft()
+        if len(want.get(key, ())) != 1:
+            continue
+        i = want[key][0]
+        if split_pair[i] < 0:
+            continue
+        for k2 in split_edges(Q[i], split_pair[i]):
+            want[k2].remove(i)
+            if len(want[k2]) == 1:
+                queue.append(k2)
+        split_pair[i] = -1
+
+    V2 = list(map(tuple, V))
+    midpoint = {}
+
+    def mid_index(key):
+        if key not in midpoint:
+            midpoint[key] = len(V2)
+            V2.append(tuple(0.5 * (V[key[0]] + V[key[1]])))
+        return midpoint[key]
+
+    out_q, out_idx = [], []
+    subdivided = False
+    for i in range(m):
+        e, sp = Q[i], split_pair[i]
+        if sp < 0:
+            out_q.append(list(e))
+            out_idx.append(old_idx[i])
+            continue
+        subdivided = True
+        k0, k1 = split_edges(e, sp)
+        m0, m1 = mid_index(k0), mid_index(k1)
+        mids = (m0, m1)
+        for q in range(2):
+            out_q.append([e[(2 * q + sp) % 4], mids[q], mids[(q + 1) % 2],
+                          e[(2 * q + 3 + sp) % 4]])
+            out_idx.append(old_idx[i])
+    return (np.asarray(V2), np.asarray(out_q), np.asarray(out_idx),
+            subdivided)
+
+
+# ---------------------------------------------------------------------------
+# Boundary / component polygon extraction (filters/extract_hole_boundaries.hh,
+# extract_component_polygons.hh)
+# ---------------------------------------------------------------------------
+
+def extract_hole_boundaries(V, F):
+    """Boundary components EXCLUDING the one incident on the bounding box
+    (``filters/extract_hole_boundaries.hh``).  Triangle meshes return
+    vertex loops; tet meshes return lists of boundary-face index arrays."""
+    from .simplicial import TriMesh, TetMesh
+
+    V = np.asarray(V)
+    F = np.asarray(F)
+    lo, hi = V.min(axis=0), V.max(axis=0)
+
+    def touches_bbox(pts):
+        return bool(np.any(np.abs(pts - lo) < 1e-9)
+                    or np.any(np.abs(pts - hi) < 1e-9))
+
+    if F.shape[1] == 3:
+        loops = TriMesh.build(V, F).boundary_loops()
+        on = [touches_bbox(V[lp]) for lp in loops]
+    else:
+        tm = TetMesh.build(V, F)
+        bf = tm.boundary_faces()                       # [B, 3] vertex ids
+        # face adjacency via shared edges
+        e = np.stack([bf, np.roll(bf, -1, axis=1)], axis=-1).reshape(-1, 2)
+        key = np.sort(e, axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        face_of = np.repeat(np.arange(len(bf)), 3)
+        adj = [[] for _ in range(len(bf))]
+        order = np.argsort(inv, kind="stable")
+        s_inv, s_face = inv[order], face_of[order]
+        starts = np.searchsorted(s_inv, np.arange(len(uniq)))
+        ends = np.searchsorted(s_inv, np.arange(len(uniq)) + 1)
+        for a, b in zip(starts, ends):
+            fs = s_face[a:b]
+            for x in fs:
+                for y in fs:
+                    if x != y:
+                        adj[x].append(y)
+        seen = np.zeros(len(bf), dtype=bool)
+        loops, on = [], []
+        for f0 in range(len(bf)):
+            if seen[f0]:
+                continue
+            comp = [f0]
+            seen[f0] = True
+            stack = [f0]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if not seen[v]:
+                        seen[v] = True
+                        comp.append(v)
+                        stack.append(v)
+            comp = np.asarray(comp)
+            loops.append(comp)
+            on.append(touches_bbox(V[np.unique(bf[comp])]))
+    if sum(on) != 1:
+        raise ValueError(f"exactly one boundary component should touch the "
+                         f"bounding box ({sum(on)} found)")
+    return [lp for lp, o in zip(loops, on) if not o]
+
+
+def extract_component_polygons(V, F, indicator):
+    """Per-component closed boundary polylines of an indicator-labeled
+    triangle mesh (``filters/extract_component_polygons.hh``).
+
+    indicator [num_tris] int; negative values are skipped.  Returns a list
+    of dicts {'exterior': [k] closed ccw vertex loop,
+              'holes': list of closed cw loops}."""
+    from .simplicial import TriMesh
+
+    V = np.asarray(V)
+    F = np.asarray(F)
+    ind = np.asarray(indicator)
+    if len(ind) != len(F):
+        raise ValueError("indicator must be per-triangle")
+    tm = TriMesh.build(V, F)
+    nt = len(F)
+
+    def is_poly_bdry(h):
+        mate = tm.mate(h)
+        if mate < 0:                      # mesh boundary (encoded -2-b)
+            return True
+        f, fo = h // 3, mate // 3
+        return ind[f] >= 0 and ind[f] != ind[fo]
+
+    def next_poly_he(h):
+        t = tm.next(h)
+        while not is_poly_bdry(t):
+            t = tm.next(tm.mate(t))
+        return t
+
+    tri_seen = np.zeros(nt, dtype=bool)
+    he_seen = np.zeros(3 * nt, dtype=bool)
+    result = []
+    for t0 in range(nt):
+        if tri_seen[t0] or ind[t0] < 0:
+            continue
+        comp_hes = []
+        stack = [t0]
+        tri_seen[t0] = True
+        while stack:
+            u = stack.pop()
+            for c in range(3):
+                h = 3 * u + c
+                if is_poly_bdry(h):
+                    comp_hes.append(h)
+                else:
+                    v = tm.mate(h) // 3
+                    if not tri_seen[v]:
+                        tri_seen[v] = True
+                        stack.append(v)
+        loops = []
+        for h0 in comp_hes:
+            if he_seen[h0]:
+                continue
+            loop = []
+            h = h0
+            while not he_seen[h]:
+                loop.append(int(tm.tail(h)))
+                he_seen[h] = True
+                h = next_poly_he(h)
+            if h != h0:
+                raise RuntimeError("boundary loop did not close")
+            loop.append(loop[0])
+            loops.append(loop)
+        poly = {"exterior": None, "holes": []}
+        for loop in loops:
+            pts = V[np.asarray(loop)]
+            area = 0.5 * float(np.sum(
+                pts[:-1, 0] * pts[1:, 1] - pts[1:, 0] * pts[:-1, 1]))
+            if area > 0:
+                if poly["exterior"] is not None:
+                    raise ValueError("multiple positive-area boundaries")
+                poly["exterior"] = loop
+            elif area < 0:
+                poly["holes"].append(loop)
+            else:
+                raise ValueError("zero-area boundary loop")
+        if poly["exterior"] is None:
+            raise ValueError("no positive-area boundary")
+        result.append(poly)
+    return result

@@ -28,7 +28,7 @@ from ..mesh.geometry import BBox
 
 _TYPE_RE = re.compile(
     r"^(dirichlet|force|traction|pressure|target|delta_force|fracture|contact)"
-    r"([xyz]{0,3})$")
+    r"([xyz]{0,3})( nodes| elements)?$")
 
 
 @dataclasses.dataclass
@@ -50,11 +50,16 @@ class ComponentMask:
 class BCRegion:
     type: str                      # dirichlet/force/traction/pressure/target/delta_force
     value: list                    # numbers or expression strings
-    min_corner: np.ndarray
-    max_corner: np.ndarray
+    min_corner: np.ndarray | None
+    max_corner: np.ndarray | None
     percent: bool                  # box% (fraction of mesh bbox)
     component_mask: ComponentMask = dataclasses.field(
         default_factory=ComponentMask)
+    kind: str = "box"              # box | polygon | nodes | elements
+    polygon: np.ndarray | None = None        # [k, 2] for kind == 'polygon'
+    indices: np.ndarray | None = None        # node ids (kind == 'nodes')
+    indexed_values: np.ndarray | None = None  # per-index values
+    element_corners: list | None = None      # vertex-id sets (elements)
 
     def absolute_box(self, mesh_bbox: BBox) -> BBox:
         if not self.percent:
@@ -85,13 +90,62 @@ def parse_bc(data: dict | str, dim: int = 3) -> BoundaryConditions:
         m = _TYPE_RE.match(r["type"].strip().lower())
         if not m:
             raise ValueError(f"unknown BC type {r['type']!r}")
-        base, mask = m.group(1), m.group(2)
+        base, mask, suffix = m.group(1), m.group(2), (m.group(3) or "")
+        cmask = ComponentMask(mask)
+        if suffix == " nodes":
+            # indexed node condition: values = [[vec, [node ids...]], ...]
+            # (parseNodeConditionValues, BoundaryConditions.cc:64-81)
+            idxs, vals = [], []
+            for vec, ids in r["values"]:
+                for ni in ids:
+                    idxs.append(int(ni))
+                    vals.append(np.asarray(vec, dtype=np.float64)[:dim])
+            regions.append(BCRegion(base, [], None, None, False, cmask,
+                                    kind="nodes",
+                                    indices=np.asarray(idxs, dtype=np.int64),
+                                    indexed_values=np.asarray(vals)))
+            continue
+        if suffix == " elements":
+            # indexed boundary-element condition: values =
+            # [[vec, [[v0, v1(, v2)], ...]], ...]
+            # (parseElementConditionValues, BoundaryConditions.cc:84-108)
+            corners, vals = [], []
+            for vec, elems in r["values"]:
+                for el in elems:
+                    corners.append(frozenset(int(v) for v in el))
+                    vals.append(np.asarray(vec, dtype=np.float64)[:dim])
+            regions.append(BCRegion(base, [], None, None, False, cmask,
+                                    kind="elements",
+                                    element_corners=corners,
+                                    indexed_values=np.asarray(vals)))
+            continue
+        if "element vertices" in r:
+            # dirichlet/target over boundary elements given by vertex ids
+            # (DirichletElementsCondition, BoundaryConditions.hh:358)
+            corners = [frozenset(int(v) for v in el)
+                       for el in r["element vertices"]]
+            value = r.get("value", [])
+            if not isinstance(value, (list, tuple)):
+                value = [value]
+            regions.append(BCRegion(base, list(value), None, None, False,
+                                    cmask, kind="elements",
+                                    element_corners=corners))
+            continue
+        if "polygon" in r:
+            poly = np.asarray(r["polygon"], dtype=np.float64)[:, :2]
+            value = r.get("value", [])
+            if not isinstance(value, (list, tuple)):
+                value = [value]
+            regions.append(BCRegion(base, list(value), None, None, False,
+                                    cmask, kind="polygon", polygon=poly))
+            continue
         if "box" in r:
             box, percent = r["box"], False
         elif "box%" in r:
             box, percent = r["box%"], True
         else:
-            raise ValueError("BC region needs a box or box% region")
+            raise ValueError("BC region needs a box, box%, polygon, "
+                             "element vertices, or indexed values")
         lo = np.asarray(box["minCorner"], dtype=np.float64)[:dim]
         hi = np.asarray(box["maxCorner"], dtype=np.float64)[:dim]
         value = r.get("value", [])
@@ -111,19 +165,64 @@ def load_bc(path, dim: int = 3) -> BoundaryConditions:
 # Region matching against a FEMMesh.
 # ---------------------------------------------------------------------------
 
+def _points_in_polygon(points, poly):
+    """Even-odd point-in-polygon test on the xy projection."""
+    x, y = points[:, 0], points[:, 1]
+    inside = np.zeros(len(points), dtype=bool)
+    k = len(poly)
+    for i in range(k):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % k]
+        crosses = ((y0 > y) != (y1 > y))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+        inside ^= crosses & (x < xint)
+    return inside
+
+
 def match_boundary_nodes(mesh, region: BCRegion, tol_frac: float = 1e-7):
-    """Boundary node indices whose positions fall in the region box."""
+    """Boundary node indices selected by the region (box, polygon — the
+    reference's PolygonalRegion — or explicit node indices)."""
+    if region.kind == "nodes":
+        nodes = np.asarray(region.indices)
+        bset = set(int(b) for b in np.asarray(mesh.bdry_nodes))
+        for ni in nodes:
+            if int(ni) not in bset:
+                raise ValueError(
+                    f"Node condition applied to non-boundary node: {ni}")
+        return nodes
+    p = mesh.node_positions[mesh.bdry_nodes]
+    if region.kind == "polygon":
+        inside = _points_in_polygon(np.asarray(p)[:, :2], region.polygon)
+        return mesh.bdry_nodes[inside]
     box = region.absolute_box(mesh.bbox())
     tol = tol_frac * max(float(np.max(mesh.bbox().dimensions)), 1.0)
-    p = mesh.node_positions[mesh.bdry_nodes]
     inside = np.all((p >= box.min - tol) & (p <= box.max + tol), axis=1)
     return mesh.bdry_nodes[inside]
 
 
 def match_boundary_elements(mesh, region: BCRegion, tol_frac: float = 1e-7):
-    """Boundary element indices entirely inside the region box (the reference
-    requires all vertices of the boundary element inside,
+    """Boundary element indices selected by the region (box, polygon, or
+    explicit vertex-index sets; the reference requires all vertices inside,
     ``LinearElasticity.hh:897-930``)."""
+    if region.kind == "elements":
+        lookup = {frozenset(int(v) for v in row): i
+                  for i, row in enumerate(np.asarray(mesh.bdry_elems))}
+        out, order = [], []
+        for j, key in enumerate(region.element_corners):
+            if key not in lookup:
+                raise ValueError(
+                    "Some element boundary conditions weren't matched "
+                    f"(vertex set {sorted(key)})")
+            out.append(lookup[key])
+            order.append(j)
+        return np.asarray(out, dtype=np.int64)
+    if region.kind == "polygon":
+        ok = np.ones(mesh.num_boundary_elements, dtype=bool)
+        for c in range(mesh.bdry_elems.shape[1]):
+            p = np.asarray(mesh.V[mesh.bdry_elems[:, c]])[:, :2]
+            ok &= _points_in_polygon(p, region.polygon)
+        return np.flatnonzero(ok)
     box = region.absolute_box(mesh.bbox())
     tol = tol_frac * max(float(np.max(mesh.bbox().dimensions)), 1.0)
     ok = np.ones(mesh.num_boundary_elements, dtype=bool)

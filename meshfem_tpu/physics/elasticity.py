@@ -95,7 +95,7 @@ class ElasticitySimulator:
         self.neumann_load = jnp.zeros((self.num_dofs, d),
                                       dtype=self.Ke.dtype)
         self.no_rigid_motion = False
-        self._region_nodes: list = []   # per force/traction region, for reports
+        self._region_nodes: list = []   # dof ids per Dirichlet region (reports)
 
     # ------------------------------------------------------------------
     # Operator
@@ -123,12 +123,22 @@ class ElasticitySimulator:
         load = np.zeros((self.num_dofs, self.dim))
         for region in conds.regions:
             if region.type in ("dirichlet", "target"):
-                nodes = bc_mod.match_boundary_nodes(mesh, region)
+                if region.kind == "elements":
+                    # DirichletElementsCondition: constrain ALL nodes (incl.
+                    # edge nodes) of the matched boundary elements
+                    # (LinearElasticity.hh:950-965).
+                    belems = bc_mod.match_boundary_elements(mesh, region)
+                    nodes = np.unique(mesh.bdry_elem_nodes[belems])
+                else:
+                    nodes = bc_mod.match_boundary_nodes(mesh, region)
                 if len(nodes) == 0:
                     raise ValueError(f"BC region matched no nodes: {region}")
                 if region.type == "target":
                     continue  # targets are objectives, not constraints
-                vals = region.eval_value(mesh.node_positions[nodes], env)
+                if region.kind == "nodes":
+                    vals = np.asarray(region.indexed_values)
+                else:
+                    vals = region.eval_value(mesh.node_positions[nodes], env)
                 comps = region.component_mask.components(self.dim)
                 dofs = self.dof_map[nodes]
                 for ci, c in enumerate(comps):
@@ -140,6 +150,9 @@ class ElasticitySimulator:
                                          "(reference detects these too)")
                     self.dirichlet_mask[dofs, c] = True
                     self.dirichlet_values[dofs, c] = col
+                # Dirichlet region bookkeeping for surface-force reports
+                # (setDirichletRegion, LinearElasticity.hh:960).
+                self._region_nodes.append(np.asarray(dofs))
             elif region.type in ("traction", "force", "pressure"):
                 belems = bc_mod.match_boundary_elements(mesh, region)
                 if len(belems) == 0:
@@ -148,8 +161,15 @@ class ElasticitySimulator:
                 load += np.asarray(self._neumann_region_load(
                     region, belems, env))
             elif region.type == "delta_force":
-                nodes = bc_mod.match_boundary_nodes(mesh, region)
-                vals = region.eval_value(mesh.node_positions[nodes], env)
+                if region.kind == "nodes":
+                    nodes = np.asarray(region.indices)
+                    if nodes.max(initial=-1) >= mesh.num_nodes:
+                        raise ValueError("delta_force node index out of "
+                                         "bounds")
+                    vals = np.asarray(region.indexed_values)
+                else:
+                    nodes = bc_mod.match_boundary_nodes(mesh, region)
+                    vals = region.eval_value(mesh.node_positions[nodes], env)
                 np.add.at(load, self.dof_map[nodes], vals)
             else:
                 raise ValueError(f"unsupported BC type {region.type!r}")
@@ -160,12 +180,25 @@ class ElasticitySimulator:
         mesh = self.mesh
         centers = mesh.V[mesh.bdry_elems[belems]].mean(axis=1)
         bvol = np.asarray(self.geom.bdry_volume)[belems]
-        if region.type == "pressure":
+        if region.kind == "elements":
+            # NeumannElementsCondition: per-element values matched by vertex
+            # sets (LinearElasticity.hh:966-997); force values are divided
+            # by the condition's total element area.
+            vals = np.asarray(region.indexed_values)
+            if region.type == "pressure":
+                n = np.asarray(self.geom.bdry_normal)[belems]
+                traction = -vals[:, :1] * n
+            elif region.type == "traction":
+                traction = vals
+            else:  # force
+                traction = vals / bvol.sum()
+        elif region.type == "pressure":
             p = np.asarray(bc_mod.evaluate(region.value[0], centers, env))
             n = np.asarray(self.geom.bdry_normal)[belems]
             traction = -p[:, None] * n
         else:
-            traction = region.eval_value(centers, env)   # [B, dim]
+            # truncate 3-component values on 2D meshes (truncateFrom3D)
+            traction = region.eval_value(centers, env)[:, :self.dim]
             if region.type == "force":
                 # Total force divided by region area -> uniform traction
                 # (BoundaryConditions.hh:179-181).
@@ -176,6 +209,38 @@ class ElasticitySimulator:
         load = np.zeros((self.num_dofs, self.dim))
         np.add.at(load, nodes.reshape(-1), fe.reshape(-1, self.dim))
         return load
+
+    def report_region_surface_forces(self, u):
+        """[n_regions, dim] net force transmitted through each Dirichlet
+        region: sums of (K u) over the region's nodes
+        (``reportRegionSurfaceForces``, ``LinearElasticity.hh:1251-1270``)."""
+        ud = jnp.zeros((self.num_dofs, self.dim), dtype=self.Ke.dtype)
+        ud = ud.at[jnp.asarray(self.dof_map)].set(jnp.asarray(u))
+        f = np.asarray(self.apply_K(ud))
+        return np.stack([f[r].sum(axis=0) for r in self._region_nodes]) \
+            if self._region_nodes else np.zeros((0, self.dim))
+
+    def analyze_dirichlet_posedness(self):
+        """(needs_translations [dim] bool, needs_rotations bool): which
+        rigid modes the applied Dirichlet conditions fail to suppress
+        (``analyzeDirichletPosedness``, ``LinearElasticity.hh:1169-1191``).
+        Like the reference, partial-constraint rotational analysis is
+        approximate: rotations are flagged only when nothing at all is
+        constrained, with a warning for ambiguous partial cases."""
+        import warnings
+
+        counts = self.dirichlet_mask.sum(axis=0)       # per component
+        total = int(counts.sum())
+        needs_translations = counts == 0
+        needs_rotations = total == 0
+        n_rigid = 3 if self.dim == 2 else 6
+        if total > 0 and (needs_translations.any() or total < n_rigid):
+            warnings.warn(
+                "analysis of partial Dirichlet rotational posedness is "
+                "approximate; unconstrained translation components: "
+                + "".join(c for c, n in zip("xyz", needs_translations)
+                          if n))
+        return needs_translations, needs_rotations
 
     def fix_nodes(self, nodes, values=0.0, components=None):
         """Programmatic Dirichlet (node indices, per-node values)."""
@@ -194,6 +259,7 @@ class ElasticitySimulator:
         self.dirichlet_values[:] = 0.0
         self.neumann_load = jnp.zeros_like(self.neumann_load)
         self.no_rigid_motion = False
+        self._region_nodes = []
 
     # ------------------------------------------------------------------
     # Rigid motion projection (replaces constraint rows R,

@@ -176,7 +176,7 @@ def test_voxels_to_simplices():
 def test_quad_and_hex_subdiv():
     Vq = np.array([[0, 0], [1, 0], [1, 1], [0, 1.]])
     Q = np.array([[0, 1, 2, 3]])
-    V2, Tq = filters.quad_subdiv(Vq, Q)
+    V2, Tq = filters.quad_tri_split_diagonal(Vq, Q)
     m = FEMMesh(V2, Tq)
     assert m.volume() == pytest.approx(1.0)
 
