@@ -116,9 +116,11 @@ def test_msh_processor_cli(cantilever, tmp_path, capsys):
                    "-o", str(out), "--degree", "1"])
     capsys.readouterr()
     msh_processor.main([str(out), "-e", "u", "norm", "max", "print"])
-    val = float(capsys.readouterr().out.strip().splitlines()[-1])
+    val = float(capsys.readouterr().out.strip().splitlines()[-1]
+                .rsplit(" ", 1)[-1])
     assert val > 0.01
     msh_processor.main([str(out), "-e", "stress", "vonmises", "mean",
                         "print"])
-    vm = float(capsys.readouterr().out.strip().splitlines()[-1])
+    vm = float(capsys.readouterr().out.strip().splitlines()[-1]
+               .rsplit(" ", 1)[-1])
     assert vm > 0
