@@ -1,13 +1,12 @@
 """PSLG triangulation (parity with reference ``Triangulate.h`` wrapping
 Shewchuk's Triangle, and ``Meshing.hh`` polygon-set triangulation).
 
-Without the Triangle C library we provide a Delaunay-based constrained
-triangulator: boundary segments are subdivided to the target length,
-interior Steiner points come from a jittered grid filtered by
-point-in-polygon (holes supported), and scipy's Delaunay triangulates the
-union; triangles whose centroid falls outside the region (or inside a
-hole) are discarded.  Adequate for the generator/meshing workflows; exact
-constrained-Delaunay parity is a host-native (C++) follow-up."""
+The primary path is the NATIVE quality constrained Delaunay triangulator
+(Ruppert refinement, ``native/hostcore.cpp::triangulate_ruppert``):
+guaranteed minimum angle + maximum-area bounds, conforming to the input
+segments exactly, with hole seeds — matching Triangle's q/a modes.  A
+jittered-grid scipy-Delaunay approximation remains as the fallback when
+the native toolchain is unavailable."""
 
 from __future__ import annotations
 
@@ -44,12 +43,20 @@ def _resample_loop(loop, max_len):
 
 
 def triangulate_pslg(outline, holes=(), target_area: float = 0.01,
-                     interior_jitter: float = 0.3, seed: int = 0):
+                     interior_jitter: float = 0.3, seed: int = 0,
+                     min_angle: float = 20.0, quality: bool = True):
     """Triangulate the region bounded by `outline` (CCW [n, 2]) minus the
     hole polygons (each CW or CCW [m, 2]; a point inside each is treated
     as a hole seed like Triangle's hole markers).
 
+    quality=True uses the native Ruppert CDT (min-angle >= `min_angle`
+    degrees, triangle area <= target_area, exact segment conformance).
     Returns (V [n, 2], F [m, 3]) with positively oriented triangles."""
+    if quality:
+        out = triangulate_pslg_quality(outline, holes, target_area,
+                                       min_angle)
+        if out is not None:
+            return out
     from scipy.spatial import Delaunay
 
     h = np.sqrt(target_area * 4 / np.sqrt(3))
@@ -93,3 +100,39 @@ def triangulate_pslg(outline, holes=(), target_area: float = 0.01,
     from .filters import remove_dangling_vertices
 
     return remove_dangling_vertices(pts, F)
+
+
+def _hole_seed(poly):
+    """A point strictly inside a simple polygon (centroid of an ear)."""
+    p = np.asarray(poly, dtype=np.float64)
+    n = len(p)
+    for i in range(n):
+        a, b, c = p[(i - 1) % n], p[i], p[(i + 1) % n]
+        cand = (a + b + c) / 3.0
+        if _point_in_polygon(cand[None], p)[0]:
+            return cand
+    return p.mean(axis=0)
+
+
+def triangulate_pslg_quality(outline, holes=(), target_area: float = 0.01,
+                             min_angle: float = 20.0):
+    """Native Ruppert quality CDT over an outline + hole polygons.
+    Returns (V, F) or None when the native library is unavailable."""
+    from ..native import triangulate_ruppert
+
+    outline = np.asarray(outline, dtype=np.float64)
+    pts = [outline]
+    segs = []
+    base = 0
+    for loop in (outline, *[np.asarray(h, dtype=np.float64)
+                            for h in holes]):
+        n = len(loop)
+        segs.extend([(base + i, base + (i + 1) % n) for i in range(n)])
+        if base > 0:
+            pts.append(loop)
+        base += n
+    seeds = [_hole_seed(h) for h in holes]
+    out = triangulate_ruppert(np.vstack(pts), np.asarray(segs),
+                              holes=np.asarray(seeds) if seeds else None,
+                              min_angle=min_angle, max_area=target_area)
+    return out

@@ -55,6 +55,14 @@ def get_lib():
     lib.morton_codes.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p]
+    lib.triangulate_ruppert.restype = ctypes.c_int
+    lib.triangulate_ruppert.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,        # pts
+        ctypes.c_void_p, ctypes.c_int64,        # segs
+        ctypes.c_void_p, ctypes.c_int64,        # holes
+        ctypes.c_double, ctypes.c_double,       # min_angle, max_area
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -110,3 +118,34 @@ def build_scatter_plan(ids: np.ndarray, num_segments: int, g1: int = 8):
     lib.build_scatter_plan(_ptr(ids64), len(ids64), num_segments, g1,
                            _ptr(sizes), _ptr(gidx1), _ptr(gidx2))
     return gidx1, gidx2, g2
+
+
+def triangulate_ruppert(points, segments, holes=None,
+                        min_angle: float = 20.0, max_area: float = 0.0):
+    """Quality constrained Delaunay triangulation with Ruppert refinement
+    (native; parity with Triangle's quality/area modes, Triangulate.h:83).
+    Returns (V [n, 2], F [m, 3]) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float64)[:, :2]
+    segs = np.ascontiguousarray(segments, dtype=np.int64)
+    hl = np.ascontiguousarray(
+        holes if holes is not None and len(holes) else np.zeros((0, 2)),
+        dtype=np.float64)
+    cap_p, cap_t = 4096, 8192
+    for _ in range(8):
+        out_p = np.empty((cap_p, 2), dtype=np.float64)
+        out_t = np.empty((cap_t, 3), dtype=np.int64)
+        n_p = ctypes.c_int64()
+        n_t = ctypes.c_int64()
+        rc = lib.triangulate_ruppert(
+            _ptr(pts), len(pts), _ptr(segs), len(segs), _ptr(hl), len(hl),
+            float(min_angle), float(max_area),
+            _ptr(out_p), cap_p, ctypes.byref(n_p),
+            _ptr(out_t), cap_t, ctypes.byref(n_t))
+        if rc == 0:
+            return out_p[:n_p.value].copy(), out_t[:n_t.value].copy()
+        cap_p = max(cap_p * 2, int(n_p.value) + 1)
+        cap_t = max(cap_t * 2, int(n_t.value) + 1)
+    raise RuntimeError("triangulate_ruppert: output capacity not converging")

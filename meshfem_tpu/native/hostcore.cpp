@@ -146,4 +146,418 @@ void morton_codes(const uint64_t* q, int64_t n, int32_t d, int32_t bits,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Quality constrained Delaunay triangulation (Ruppert refinement) — the
+// native replacement for Triangle's triangulatePSLG quality/area modes
+// (reference Triangulate.h:83).  Bowyer-Watson incremental Delaunay with
+// segment splitting on encroachment and circumcenter insertion for bad
+// triangles; holes/outside removed by centroid-in-polygon tests against
+// the input PSLG.
+// ---------------------------------------------------------------------------
 }  // extern "C"
+
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <map>
+#include <queue>
+#include <set>
+#include <vector>
+
+namespace ruppert {
+
+struct P2 { double x, y; };
+
+static inline double orient(const P2& a, const P2& b, const P2& c) {
+    return (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x);
+}
+
+static inline bool in_circle(const P2& a, const P2& b, const P2& c,
+                             const P2& d) {
+    // positive when d is inside the circumcircle of ccw (a, b, c)
+    double ax = a.x - d.x, ay = a.y - d.y;
+    double bx = b.x - d.x, by = b.y - d.y;
+    double cx = c.x - d.x, cy = c.y - d.y;
+    double det = (ax * ax + ay * ay) * (bx * cy - by * cx)
+               - (bx * bx + by * by) * (ax * cy - ay * cx)
+               + (cx * cx + cy * cy) * (ax * by - ay * bx);
+    return det > 0;
+}
+
+struct Tri {
+    int64_t v[3];
+    int64_t adj[3];   // neighbor opposite v[i]; -1 = none
+    bool alive;
+};
+
+struct CDT {
+    std::vector<P2> pts;
+    std::vector<Tri> tris;
+    std::set<std::pair<int64_t, int64_t>> constrained;
+    int64_t last_tri = 0;
+
+    static std::pair<int64_t, int64_t> key(int64_t a, int64_t b) {
+        return a < b ? std::make_pair(a, b) : std::make_pair(b, a);
+    }
+
+    int64_t locate(const P2& p) const {
+        // walk from last_tri; fall back to scan
+        int64_t t = last_tri;
+        for (int steps = 0; steps < (int)tris.size() + 8; ++steps) {
+            if (t < 0 || !tris[t].alive) break;
+            const Tri& T = tris[t];
+            int64_t next = -1;
+            for (int i = 0; i < 3; ++i) {
+                const P2& a = pts[T.v[(i + 1) % 3]];
+                const P2& b = pts[T.v[(i + 2) % 3]];
+                if (orient(a, b, p) < 0) { next = T.adj[i]; break; }
+            }
+            if (next < 0) return t;
+            t = next;
+        }
+        for (int64_t i = 0; i < (int64_t)tris.size(); ++i) {
+            if (!tris[i].alive) continue;
+            const Tri& T = tris[i];
+            bool ok = true;
+            for (int k = 0; k < 3; ++k)
+                if (orient(pts[T.v[(k + 1) % 3]], pts[T.v[(k + 2) % 3]], p)
+                    < -1e-12)
+                    ok = false;
+            if (ok) return i;
+        }
+        return -1;
+    }
+
+    // Insert p; returns new vertex id or -1 (duplicate / lost).
+    int64_t insert(const P2& p) {
+        int64_t t0 = locate(p);
+        if (t0 < 0) return -1;
+        for (int k = 0; k < 3; ++k) {
+            const P2& q = pts[tris[t0].v[k]];
+            double dx = q.x - p.x, dy = q.y - p.y;
+            if (dx * dx + dy * dy < 1e-24) return tris[t0].v[k];
+        }
+        int64_t vp = (int64_t)pts.size();
+        pts.push_back(p);
+        // cavity = BFS of triangles whose circumcircle contains p, but never
+        // crossing a constrained edge (constrained Delaunay)
+        std::vector<int64_t> cav;
+        std::set<int64_t> in_cav;
+        std::queue<int64_t> q;
+        q.push(t0);
+        in_cav.insert(t0);
+        while (!q.empty()) {
+            int64_t t = q.front(); q.pop();
+            cav.push_back(t);
+            for (int i = 0; i < 3; ++i) {
+                int64_t n = tris[t].adj[i];
+                if (n < 0 || in_cav.count(n)) continue;
+                int64_t ea = tris[t].v[(i + 1) % 3];
+                int64_t eb = tris[t].v[(i + 2) % 3];
+                if (constrained.count(key(ea, eb))) continue;
+                const Tri& N = tris[n];
+                P2 a = pts[N.v[0]], b = pts[N.v[1]], c = pts[N.v[2]];
+                if (orient(a, b, c) <= 0) std::swap(b, c);
+                if (in_circle(a, b, c, p)) {
+                    in_cav.insert(n);
+                    q.push(n);
+                }
+            }
+        }
+        // boundary edges of the cavity (edge, outside neighbor)
+        struct BEdge { int64_t a, b, outside; };
+        std::vector<BEdge> bnd;
+        for (int64_t t : cav) {
+            for (int i = 0; i < 3; ++i) {
+                int64_t n = tris[t].adj[i];
+                if (n >= 0 && in_cav.count(n)) continue;
+                bnd.push_back({tris[t].v[(i + 1) % 3],
+                               tris[t].v[(i + 2) % 3], n});
+            }
+            tris[t].alive = false;
+        }
+        // fan: one new triangle per boundary edge
+        std::map<int64_t, int64_t> tri_of_first;  // boundary edge a -> tri
+        int64_t first_new = (int64_t)tris.size();
+        for (const BEdge& e : bnd) {
+            Tri nt;
+            nt.v[0] = vp; nt.v[1] = e.a; nt.v[2] = e.b;
+            if (orient(pts[nt.v[0]], pts[nt.v[1]], pts[nt.v[2]]) < 0)
+                std::swap(nt.v[1], nt.v[2]);
+            nt.adj[0] = e.outside;   // opposite vp = the old outside tri
+            nt.adj[1] = nt.adj[2] = -1;
+            tris.push_back(nt);
+        }
+        // fix adjacency: outside tris point back; new tris link via edges
+        std::map<std::pair<int64_t, int64_t>, int64_t> edge_tri;
+        for (int64_t t = first_new; t < (int64_t)tris.size(); ++t) {
+            Tri& T = tris[t];
+            // link to outside
+            int64_t out = T.adj[0];
+            if (out >= 0) {
+                for (int i = 0; i < 3; ++i) {
+                    int64_t na = tris[out].v[(i + 1) % 3];
+                    int64_t nb = tris[out].v[(i + 2) % 3];
+                    if (key(na, nb) == key(T.v[1], T.v[2]))
+                        tris[out].adj[i] = t;
+                }
+            }
+            // edges (vp, a) and (vp, b)
+            for (int i = 1; i < 3; ++i) {
+                auto ek = key(vp, T.v[i]);
+                auto it = edge_tri.find(ek);
+                if (it == edge_tri.end()) edge_tri[ek] = t;
+                else {
+                    int64_t o = it->second;
+                    // adjacency slots: opposite the vertex NOT on the edge
+                    for (int s = 0; s < 3; ++s) {
+                        auto sk = key(tris[t].v[(s + 1) % 3],
+                                      tris[t].v[(s + 2) % 3]);
+                        if (sk == ek) tris[t].adj[s] = o;
+                        auto ok2 = key(tris[o].v[(s + 1) % 3],
+                                       tris[o].v[(s + 2) % 3]);
+                        if (ok2 == ek) tris[o].adj[s] = t;
+                    }
+                }
+            }
+        }
+        last_tri = first_new;
+        return vp;
+    }
+};
+
+static bool point_in_pslg(const P2& p, const std::vector<P2>& pts,
+                          const std::vector<std::pair<int64_t, int64_t>>& segs) {
+    // even-odd ray casting against the input segments
+    bool inside = false;
+    for (auto& s : segs) {
+        const P2& a = pts[s.first];
+        const P2& b = pts[s.second];
+        if ((a.y > p.y) != (b.y > p.y)) {
+            double xi = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y);
+            if (p.x < xi) inside = !inside;
+        }
+    }
+    return inside;
+}
+
+}  // namespace ruppert
+
+extern "C" {
+
+// Quality CDT.  Returns 0 on success.  Buffers are caller-allocated with
+// capacities cap_pts / cap_tris; required sizes written to n_out_*.
+int triangulate_ruppert(const double* pts_in, int64_t n_pts,
+                        const int64_t* segs_in, int64_t n_segs,
+                        const double* holes_in, int64_t n_holes,
+                        double min_angle_deg, double max_area,
+                        double* out_pts, int64_t cap_pts, int64_t* n_out_pts,
+                        int64_t* out_tris, int64_t cap_tris,
+                        int64_t* n_out_tris) {
+    using namespace ruppert;
+    CDT cdt;
+    // bounding super-triangle
+    double lo[2] = {1e300, 1e300}, hi[2] = {-1e300, -1e300};
+    for (int64_t i = 0; i < n_pts; ++i) {
+        lo[0] = std::min(lo[0], pts_in[2 * i]);
+        lo[1] = std::min(lo[1], pts_in[2 * i + 1]);
+        hi[0] = std::max(hi[0], pts_in[2 * i]);
+        hi[1] = std::max(hi[1], pts_in[2 * i + 1]);
+    }
+    double cx = 0.5 * (lo[0] + hi[0]), cy = 0.5 * (lo[1] + hi[1]);
+    double R = 4.0 * std::max(hi[0] - lo[0], hi[1] - lo[1]) + 1.0;
+    cdt.pts.push_back({cx - 2.0 * R, cy - R});
+    cdt.pts.push_back({cx + 2.0 * R, cy - R});
+    cdt.pts.push_back({cx, cy + 2.0 * R});
+    Tri t0; t0.v[0] = 0; t0.v[1] = 1; t0.v[2] = 2;
+    t0.adj[0] = t0.adj[1] = t0.adj[2] = -1;
+    t0.alive = true;
+    cdt.tris.push_back(t0);
+
+    std::vector<int64_t> vid(n_pts);
+    for (int64_t i = 0; i < n_pts; ++i)
+        vid[i] = cdt.insert({pts_in[2 * i], pts_in[2 * i + 1]});
+
+    // constrained segment worklist (by current endpoint ids)
+    std::vector<std::pair<int64_t, int64_t>> segs;
+    std::vector<std::pair<int64_t, int64_t>> input_segs;
+    for (int64_t i = 0; i < n_segs; ++i) {
+        segs.push_back({vid[segs_in[2 * i]], vid[segs_in[2 * i + 1]]});
+        input_segs.push_back(segs.back());
+        cdt.constrained.insert(CDT::key(segs.back().first,
+                                        segs.back().second));
+    }
+
+    auto has_edge = [&](int64_t a, int64_t b) {
+        for (const Tri& T : cdt.tris) {
+            if (!T.alive) continue;
+            for (int i = 0; i < 3; ++i) {
+                int64_t ea = T.v[(i + 1) % 3], eb = T.v[(i + 2) % 3];
+                if (CDT::key(ea, eb) == CDT::key(a, b)) return true;
+            }
+        }
+        return false;
+    };
+    auto encroached = [&](int64_t a, int64_t b) -> int64_t {
+        const P2& A = cdt.pts[a];
+        const P2& B = cdt.pts[b];
+        double mx = 0.5 * (A.x + B.x), my = 0.5 * (A.y + B.y);
+        double r2 = 0.25 * ((A.x - B.x) * (A.x - B.x)
+                            + (A.y - B.y) * (A.y - B.y));
+        for (int64_t v = 3; v < (int64_t)cdt.pts.size(); ++v) {
+            if (v == a || v == b) continue;
+            double dx = cdt.pts[v].x - mx, dy = cdt.pts[v].y - my;
+            if (dx * dx + dy * dy < r2 * (1.0 - 1e-9)) return v;
+        }
+        return -1;
+    };
+    auto split_seg = [&](size_t si) {
+        int64_t a = segs[si].first, b = segs[si].second;
+        cdt.constrained.erase(CDT::key(a, b));
+        P2 m{0.5 * (cdt.pts[a].x + cdt.pts[b].x),
+             0.5 * (cdt.pts[a].y + cdt.pts[b].y)};
+        int64_t vm = cdt.insert(m);
+        segs[si] = {a, vm};
+        segs.push_back({vm, b});
+        cdt.constrained.insert(CDT::key(a, vm));
+        cdt.constrained.insert(CDT::key(vm, b));
+    };
+
+    const double min_angle = min_angle_deg * 3.14159265358979323846 / 180.0;
+    const double cot2 = 1.0 / (4.0 * std::sin(min_angle) * std::sin(min_angle));
+    const int64_t MAX_V = 200000;
+
+    for (int iter = 0; iter < 200000; ++iter) {
+        if ((int64_t)cdt.pts.size() > MAX_V) break;
+        // 1) missing or encroached segments first
+        bool did = false;
+        for (size_t si = 0; si < segs.size(); ++si) {
+            if (!has_edge(segs[si].first, segs[si].second)
+                || encroached(segs[si].first, segs[si].second) >= 0) {
+                split_seg(si);
+                did = true;
+                break;
+            }
+        }
+        if (did) continue;
+        // 2) worst bad triangle inside the domain
+        int64_t bad = -1;
+        double worst = 0;
+        for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t) {
+            const Tri& T = cdt.tris[t];
+            if (!T.alive) continue;
+            if (T.v[0] < 3 || T.v[1] < 3 || T.v[2] < 3) continue;
+            const P2& A = cdt.pts[T.v[0]];
+            const P2& B = cdt.pts[T.v[1]];
+            const P2& C = cdt.pts[T.v[2]];
+            double area = 0.5 * std::fabs(orient(A, B, C));
+            if (area < 1e-22) continue;
+            P2 cen{(A.x + B.x + C.x) / 3, (A.y + B.y + C.y) / 3};
+            if (!point_in_pslg(cen, cdt.pts, input_segs)) continue;
+            double l2[3] = {
+                (B.x - C.x) * (B.x - C.x) + (B.y - C.y) * (B.y - C.y),
+                (A.x - C.x) * (A.x - C.x) + (A.y - C.y) * (A.y - C.y),
+                (A.x - B.x) * (A.x - B.x) + (A.y - B.y) * (A.y - B.y)};
+            double lmin = std::min(l2[0], std::min(l2[1], l2[2]));
+            // circumradius^2 = (l0 l1 l2) / (16 area^2)
+            double r2 = l2[0] * l2[1] * l2[2] / (16.0 * area * area);
+            double q = r2 / lmin;   // (r/lmin)^2; bad when > cot2
+            double score = 0;
+            if (q > cot2) score = q / cot2;
+            if (max_area > 0 && area > max_area)
+                score = std::max(score, area / max_area);
+            if (score > worst + 1e-12) { worst = score; bad = t; }
+        }
+        if (bad < 0) break;
+        // circumcenter of bad
+        const Tri& T = cdt.tris[bad];
+        const P2& A = cdt.pts[T.v[0]];
+        const P2& B = cdt.pts[T.v[1]];
+        const P2& C = cdt.pts[T.v[2]];
+        double d = 2.0 * (A.x * (B.y - C.y) + B.x * (C.y - A.y)
+                          + C.x * (A.y - B.y));
+        P2 cc{((A.x * A.x + A.y * A.y) * (B.y - C.y)
+               + (B.x * B.x + B.y * B.y) * (C.y - A.y)
+               + (C.x * C.x + C.y * C.y) * (A.y - B.y)) / d,
+              ((A.x * A.x + A.y * A.y) * (C.x - B.x)
+               + (B.x * B.x + B.y * B.y) * (A.x - C.x)
+               + (C.x * C.x + C.y * C.y) * (B.x - A.x)) / d};
+        // if cc encroaches a segment, split those segments instead
+        bool enc = false;
+        for (size_t si = 0; si < segs.size(); ++si) {
+            const P2& Sa = cdt.pts[segs[si].first];
+            const P2& Sb = cdt.pts[segs[si].second];
+            double mx = 0.5 * (Sa.x + Sb.x), my = 0.5 * (Sa.y + Sb.y);
+            double r2s = 0.25 * ((Sa.x - Sb.x) * (Sa.x - Sb.x)
+                                 + (Sa.y - Sb.y) * (Sa.y - Sb.y));
+            double dx = cc.x - mx, dy = cc.y - my;
+            if (dx * dx + dy * dy < r2s * (1.0 - 1e-9)) {
+                split_seg(si);
+                enc = true;
+                break;
+            }
+        }
+        if (!enc) cdt.insert(cc);
+    }
+
+    // classify + compact output: keep triangles whose centroid is inside
+    // the PSLG and outside every hole polygon region (holes are seed
+    // points: a triangle is dropped when its centroid is connected... we
+    // use parity against input segments, which already excludes holes
+    // bounded by segments; explicit hole seeds flip regions containing them)
+    std::vector<int64_t> vmap(cdt.pts.size(), -1);
+    std::vector<std::array<int64_t, 3>> out;
+    for (const Tri& T : cdt.tris) {
+        if (!T.alive) continue;
+        if (T.v[0] < 3 || T.v[1] < 3 || T.v[2] < 3) continue;
+        const P2& A = cdt.pts[T.v[0]];
+        const P2& B = cdt.pts[T.v[1]];
+        const P2& C = cdt.pts[T.v[2]];
+        P2 cen{(A.x + B.x + C.x) / 3, (A.y + B.y + C.y) / 3};
+        if (!point_in_pslg(cen, cdt.pts, input_segs)) continue;
+        bool in_hole = false;
+        for (int64_t h = 0; h < n_holes; ++h) {
+            // a hole seed marks the region containing it: drop triangles in
+            // the same parity region (approximate: radius test not needed —
+            // the seed's region is bounded by segments, so parity of the
+            // segment crossings between cen and the seed decides)
+            P2 hp{holes_in[2 * h], holes_in[2 * h + 1]};
+            int crossings = 0;
+            for (auto& s : input_segs) {
+                const P2& a = cdt.pts[s.first];
+                const P2& b = cdt.pts[s.second];
+                double d1 = orient(a, b, cen), d2 = orient(a, b, hp);
+                double d3 = orient(cen, hp, a), d4 = orient(cen, hp, b);
+                if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0)))
+                    ++crossings;
+            }
+            if (crossings % 2 == 0) { in_hole = true; break; }
+        }
+        if (in_hole) continue;
+        std::array<int64_t, 3> tv;
+        for (int i = 0; i < 3; ++i) tv[i] = T.v[i];
+        if (orient(A, B, C) < 0) std::swap(tv[1], tv[2]);
+        out.push_back(tv);
+    }
+    // compact vertices
+    int64_t nv = 0;
+    for (auto& t : out)
+        for (int i = 0; i < 3; ++i)
+            if (vmap[t[i]] < 0) vmap[t[i]] = nv++;
+    *n_out_pts = nv;
+    *n_out_tris = (int64_t)out.size();
+    if (nv > cap_pts || (int64_t)out.size() > cap_tris) return 1;
+    for (int64_t v = 0; v < (int64_t)cdt.pts.size(); ++v) {
+        if (vmap[v] >= 0) {
+            out_pts[2 * vmap[v]] = cdt.pts[v].x;
+            out_pts[2 * vmap[v] + 1] = cdt.pts[v].y;
+        }
+    }
+    for (size_t t = 0; t < out.size(); ++t)
+        for (int i = 0; i < 3; ++i)
+            out_tris[3 * t + i] = vmap[out[t][i]];
+    return 0;
+}
+
+}  // extern "C" (ruppert)
+

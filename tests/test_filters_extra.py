@@ -119,3 +119,31 @@ def test_extract_component_polygons():
     ind3[ind2 == 1] = -1
     polys3 = filters.extract_component_polygons(V2, F2, ind3)
     assert len(polys3) == 1
+
+
+def test_native_ruppert_quality_cdt():
+    """Native quality CDT: min-angle and max-area guarantees, exact area
+    conformance on non-convex domains with holes (Triangulate.h:83 q/a)."""
+    from meshfem_tpu.mesh.triangulate import triangulate_pslg
+
+    outline = np.asarray([[0, 0], [3, 0], [3, 3], [0, 3.0]])
+    hole = np.asarray([[1, 1], [2, 1], [2, 2], [1, 2.0]])
+    V, F = triangulate_pslg(outline, holes=[hole], target_area=0.05,
+                            min_angle=22)
+    X = V[F]
+    a, b = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
+    areas = 0.5 * (a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    assert areas.min() > 0                      # positively oriented
+    assert abs(areas.sum() - 8.0) < 1e-9        # exact boundary conformance
+    assert areas.max() <= 0.05 + 1e-12
+    angs = []
+    for i in range(3):
+        u = X[:, (i + 1) % 3] - X[:, i]
+        v = X[:, (i + 2) % 3] - X[:, i]
+        c = (u * v).sum(1) / np.sqrt((u * u).sum(1) * (v * v).sum(1))
+        angs.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+    assert np.min(angs) >= 22.0 - 1e-6
+
+    # a valid FEM mesh results
+    m = FEMMesh(V, F, degree=2)
+    assert m.volume() == pytest.approx(8.0, rel=1e-12)
