@@ -29,27 +29,64 @@ class ConvergenceReport:
 
 @dataclasses.dataclass
 class NewtonProblem:
-    """Matrix-free Newton problem (reference NewtonProblem interface)."""
+    """Matrix-free Newton problem (reference NewtonProblem interface,
+    ``newton_optimizer.hh:25-220`` incl. BoundConstraint)."""
 
     energy: Callable            # x -> scalar
     gradient: Callable          # x -> [n]
     hessian_apply: Callable     # (x, v) -> [n]  (H(x) v)
     metric_apply: Callable = None   # v -> M v (default identity)
     project: Callable = None        # feasible-subspace projector
+    lower: object = None            # elementwise lower bounds (optional)
+    upper: object = None            # elementwise upper bounds (optional)
+
+    def apply_bound_constraints(self, x):
+        """Clamp into the feasible box (``applyBoundConstraints``,
+        ``newton_optimizer.hh:178-185`` / the feasibility step)."""
+        if self.lower is not None:
+            x = jnp.maximum(x, jnp.asarray(self.lower))
+        if self.upper is not None:
+            x = jnp.minimum(x, jnp.asarray(self.upper))
+        return x
+
+    def active_bound_mask(self, x, g, tol: float = 1e-8):
+        """Working set: bounds that are touched AND whose gradient pushes
+        outward (``activeBoundConstraints``, ``newton_optimizer.hh:187``).
+        Returns a bool mask of ACTIVE (frozen) variables."""
+        active = jnp.zeros(jnp.shape(x), dtype=bool)
+        if self.lower is not None:
+            lo = jnp.asarray(self.lower)
+            active = active | ((x <= lo + tol) & (g > 0))
+        if self.upper is not None:
+            hi = jnp.asarray(self.upper)
+            active = active | ((x >= hi - tol) & (g < 0))
+        return active
 
 
 def newton_optimize(problem: NewtonProblem, x0, *, gradTol: float = 1e-8,
                     maxiter: int = 50, cg_tol: float = 1e-8,
                     cg_maxiter: int = 2000, tau0: float = 0.0,
                     verbose: bool = False):
-    """Minimize the problem energy.  Returns (x, ConvergenceReport)."""
+    """Minimize the problem energy (optionally box-constrained: an
+    active-set projected Newton — the working-set analog of the reference's
+    BoundConstraint machinery).  Returns (x, ConvergenceReport)."""
     x = jnp.asarray(x0)
-    project = problem.project or (lambda v: v)
+    has_bounds = problem.lower is not None or problem.upper is not None
+    if has_bounds:
+        x = problem.apply_bound_constraints(x)   # feasibility step
+    base_project = problem.project or (lambda v: v)
     metric = problem.metric_apply or (lambda v: v)
     report = ConvergenceReport([], [], [], [])
     tau = tau0
     for it in range(maxiter):
-        g = project(problem.gradient(x))
+        g_raw = base_project(problem.gradient(x))
+        if has_bounds:
+            active = problem.active_bound_mask(x, g_raw)
+            free = (~active).astype(x.dtype)
+            project = lambda v: base_project(v) * free
+        else:
+            project = base_project
+        g = project(g_raw)
         gn = float(jnp.linalg.norm(g))
         report.grad_norm.append(gn)
         report.energy.append(float(problem.energy(x)))
@@ -70,16 +107,20 @@ def newton_optimize(problem: NewtonProblem, x0, *, gradTol: float = 1e-8,
             if curv > 0 and descent < 0:
                 break
             tau = max(4.0 * tau, 1e-6)
-        # Backtracking line search (Armijo).
+        # Backtracking line search (Armijo), projected onto the bounds.
         e0 = report.energy[-1]
         alpha = 1.0
         for _ in range(40):
-            e1 = float(problem.energy(x + alpha * dx))
+            x_try = x + alpha * dx
+            if has_bounds:
+                x_try = problem.apply_bound_constraints(x_try)
+            e1 = float(problem.energy(x_try))
             if e1 <= e0 + 1e-4 * alpha * descent:
                 break
             alpha *= 0.5
-        x = x + alpha * dx
-        report.step_norm.append(float(alpha * jnp.linalg.norm(dx)))
+        step = x_try - x
+        x = x_try
+        report.step_norm.append(float(jnp.linalg.norm(step)))
         report.tau.append(tau)
         tau = tau / 2.0 if tau > 1e-10 else 0.0
         if verbose:
@@ -99,5 +140,7 @@ def newton_from_energy(energy_fn, x0, **kw):
 
     problem = NewtonProblem(energy=energy_fn, gradient=grad_fn,
                             hessian_apply=hvp,
-                            project=kw.pop("project", None))
+                            project=kw.pop("project", None),
+                            lower=kw.pop("lower", None),
+                            upper=kw.pop("upper", None))
     return newton_optimize(problem, x0, **kw)

@@ -248,3 +248,36 @@ def test_spsd_multi_rhs_block_solve():
     X2 = np.asarray(sys2.solve(jnp.asarray(B), tol=1e-13))
     x20 = np.asarray(sys2.solve(jnp.asarray(B[:, 0]), tol=1e-13))
     np.testing.assert_allclose(X2[:, 0], x20, atol=1e-8)
+
+
+def test_newton_bound_constraints():
+    """Box-constrained Newton (working-set projected Newton) hits the
+    clamped KKT solution of a strictly convex quadratic."""
+    from meshfem_tpu.solvers.newton import newton_from_energy
+    import scipy.optimize as sopt
+
+    rng = np.random.default_rng(5)
+    n = 12
+    A = rng.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    b = rng.standard_normal(n) * 3
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    def energy(x):
+        return 0.5 * x @ (Aj @ x) - bj @ x
+
+    lo, hi = -0.3 * np.ones(n), 0.4 * np.ones(n)
+    x, rep = newton_from_energy(energy, jnp.zeros(n), lower=lo, upper=hi,
+                                gradTol=1e-10, maxiter=60)
+    assert rep.converged
+    ref = sopt.minimize(
+        lambda v: 0.5 * v @ A @ v - b @ v,
+        np.zeros(n), jac=lambda v: A @ v - b,
+        bounds=list(zip(lo, hi)), method="L-BFGS-B",
+        options={"ftol": 1e-15, "gtol": 1e-12}).x
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-6)
+    assert (np.asarray(x) >= lo - 1e-12).all()
+    assert (np.asarray(x) <= hi + 1e-12).all()
+    # some bounds are genuinely active for this data
+    assert ((np.abs(np.asarray(x) - lo) < 1e-9)
+            | (np.abs(np.asarray(x) - hi) < 1e-9)).any()
