@@ -8,8 +8,10 @@ known kernel) and the python layer's shift-invert ``eigsh``
 
 LOBPCG with M-orthonormalization: big operator applies are batched
 matrix-free EBE products (multi-RHS — nearly free on TPU, see
-sparse/scatter.py); the small dense Rayleigh-Ritz problems run on host
-numpy at f64.
+sparse/scatter.py).  Every [N, k]-sized computation stays on DEVICE; only
+[3k, 3k] Gram matrices and residual norms cross to host (a few KB per
+iteration — round-1 transferred the full subspace blocks every iteration,
+a dispatch-bound disaster at 1M DOF).
 """
 
 from __future__ import annotations
@@ -18,10 +20,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _rayleigh_ritz(S_np, KS_np, MS_np):
-    """Solve the projected pencil (S'KS, S'MS) -> ascending eigenpairs."""
-    A = S_np.T @ KS_np
-    B = S_np.T @ MS_np
+def _rayleigh_ritz(S, KS, MS):
+    """Solve the projected pencil (S'KS, S'MS) -> ascending eigenpairs.
+    The [3k, 3k] Gram matrices are formed on DEVICE; only they cross to
+    host for the tiny dense generalized eigensolve."""
+    A = np.asarray(S.T @ KS)
+    B = np.asarray(S.T @ MS)
     A = 0.5 * (A + A.T)
     B = 0.5 * (B + B.T)
     import scipy.linalg as sla
@@ -82,7 +86,7 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
         G_m = np.asarray(X.T @ MX)
         theta = np.diag(G_k) / np.diag(G_m)
         R = KX - MX * jnp.asarray(theta)[None, :]
-        rn = np.linalg.norm(np.asarray(R), axis=0) / np.maximum(
+        rn = np.asarray(jnp.linalg.norm(R, axis=0)) / np.maximum(
             np.abs(theta), 1e-30)
         history.append(rn.copy())
         lam = theta
@@ -95,7 +99,7 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
         S = project(m_orthonormalize(project(S)))
         KS = K_apply(S)
         MS = M_apply(S)
-        w, v = _rayleigh_ritz(np.asarray(S), np.asarray(KS), np.asarray(MS))
+        w, v = _rayleigh_ritz(S, KS, MS)
         k = min(m, v.shape[1])
         X_prev = X
         X = project(S @ jnp.asarray(v[:, :k]))
