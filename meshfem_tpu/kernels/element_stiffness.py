@@ -4,11 +4,23 @@ Computes Ke[e] = vol_e * (g_e (x) g_e) @ M for all elements, where
 g_e = grad_lambda[e] (12 floats) and M is the constant fused
 material/integral matrix ([gdim^2, (nd)^2], ops/element_matrices.py).
 
-Why a kernel: the XLA path materializes the [E, 144] Gram buffer in HBM
-(read + write) before the matmul; here the Gram block lives only in VMEM,
-the matmul streams M from VMEM, and each Ke block is written exactly once
-— the kernel runs at the HBM write floor.  Shapes are MXU-native
-([BE, 144] @ [144, 900]); there is no irregular addressing.
+STATUS (measured, v5e): the XLA fused path (element_elasticity_fused_apply
+with vol folded into the Gram operand) already runs at the HBM write floor
+(~66M tets/s) and REMAINS THE DEFAULT; this kernel reaches ~21M tets/s
+(Mosaic's jnp.dot does not honor precision=HIGHEST, and the lane-concat
+Gram construction under-utilizes the VPU).  It is kept as the working
+Pallas scaffold for the compute path — correct, tested (interpret mode ==
+XLA path), and the record of the Mosaic constraints that shaped it:
+  * lane-crossing reshapes are rejected ("unsupported shape cast") —
+    build [BE, gdim^2] Gram blocks by lane CONCATENATION;
+  * block shapes: last two dims must be (multiple of 8, multiple of 128)
+    or equal the array dims — pad (nd)^2 900 -> 1024, pass vol as [BE, 1];
+  * index maps traced under jax_enable_x64 fail to legalize
+    ("func.return") — trace the pallas_call inside jax.enable_x64(False);
+  * tpu.dynamic_gather (the only in-register gather) is lane-rigid:
+    out[i, j] can only read source lane j, so unstructured SpMV needs a
+    two-stage routing network (prototyped, deferred; see
+    experiments/probe_tpu.py for the measurements that scoped it).
 
 (The general gather-based SpMV was prototyped as a Pallas kernel too and
 abandoned this round: Mosaic's only in-register gather, tpu.dynamic_gather,
@@ -28,21 +40,21 @@ import jax.numpy as jnp
 
 
 def _asm_kernel(nd2p, gdim, gl_ref, vol_ref, M_ref, out_ref):
-    # Ke = vol * (g (x) g) @ M  ==  sum_k (vol*g_k) * (g @ M[k])
-    # (no in-kernel reshape: Mosaic rejects lane-crossing shape casts)
+    # Ke = (vol * (g (x) g)) @ M as ONE K=gdim^2 MXU matmul; the Gram block
+    # is built by lane-concatenation (Mosaic rejects lane-crossing shape
+    # casts, but lane concat of [BE, gdim] slabs is supported).
     g = gl_ref[0]                                     # [BE, gdim]
     gs = g * vol_ref[0]                               # vol block [BE, 1]
-    acc = jnp.zeros((g.shape[0], nd2p), jnp.float32)
-    for k in range(gdim):
-        acc = acc + gs[:, k:k + 1] * jnp.dot(
-            g, M_ref[k], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = acc
+    gg = jnp.concatenate([gs[:, k:k + 1] * g for k in range(gdim)],
+                         axis=1)                      # [BE, gdim^2]
+    out_ref[0] = jnp.dot(gg, M_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def element_stiffness_pallas(grad_lambda, volume, M_fused,
-                             block: int = 256):
+                             block: int = 256, interpret: bool = False):
     """[E, K+1, d] grads + [E] volumes + fused M -> Ke [E, nd, nd].
 
     Drop-in replacement for ops.element_matrices.element_elasticity_fused_
@@ -75,12 +87,13 @@ def element_stiffness_pallas(grad_lambda, volume, M_fused,
       Ke = pl.pallas_call(
           kern,
           grid=(Ep // block,),
+          interpret=interpret,
           in_specs=[
               pl.BlockSpec((1, block, gdim), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM),
               pl.BlockSpec((1, block, 1), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM),
-              pl.BlockSpec((gdim, gdim, nd2p), lambda i: (0, 0, 0),
+              pl.BlockSpec((gdim * gdim, nd2p), lambda i: (0, 0),
                            memory_space=pltpu.VMEM),
           ],
           out_specs=pl.BlockSpec((1, block, nd2p), lambda i: (i, 0, 0),
@@ -89,5 +102,5 @@ def element_stiffness_pallas(grad_lambda, volume, M_fused,
                                          jnp.float32),
       )(gl.reshape(Ep // block, block, gdim),
         vol.reshape(Ep // block, block, 1),
-        Mp.reshape(gdim, gdim, nd2p))
+        Mp)
     return Ke.reshape(Ep, nd2p)[:E, :nd2].reshape(E, nd, nd)
