@@ -126,6 +126,27 @@ def main():
     timings["cg_general_bench_s"] = round(time.time() - t0, 2)
     pcg_general = 1.0 / t_gen
 
+    # multi-RHS block CG (homogenization's 6 cell problems): the gathers
+    # are row-count bound, so the per-RHS iteration rate amortizes ~6x.
+    m_rhs = 6
+    B6 = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, m_rhs)), dt)
+
+    def mk_cg6(L):
+        @jax.jit
+        def f(s, kern, B6, diag, free):
+            from meshfem_tpu.solvers.cg import cg_fixed_iters
+            safe = jnp.where(diag > 0, diag, 1.0)[..., None]
+            proj = lambda v: v * free[..., None]
+            return cg_fixed_iters(kern, B6 * s,
+                                  M_inv=lambda r: r / safe,
+                                  project=proj, iters=L).x
+        return f
+
+    t0 = time.time()
+    t_gen6 = per_iter(mk_cg6, (kern, B6, diag, free), lens=(2, 12))
+    timings["cg_general6_bench_s"] = round(time.time() - t0, 2)
+    pcg_general_6rhs = m_rhs / t_gen6
+
     # ---- lane-packed structured conv path ---------------------------------
     op = StructuredP2Elasticity.build(mesh, D, dtype=dt)
     bp = op.to_packed(b)
@@ -160,6 +181,8 @@ def main():
             "dtype": "float32",
             "assembly_ms_per_call": round(t_asm * 1e3, 3),
             "pcg_iters_per_s_general": round(pcg_general, 1),
+            "pcg_iters_per_s_general_6rhs_per_rhs": round(pcg_general_6rhs,
+                                                          1),
             "pcg_iters_per_s_structured": round(pcg_structured, 1),
             "pcg_ms_per_iter_general": round(t_gen * 1e3, 3),
             "pcg_ms_per_iter_structured": round(t_str * 1e3, 3),

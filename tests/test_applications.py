@@ -186,3 +186,27 @@ def test_quad_and_hex_subdiv():
     V3, Th = filters.hex_tet_subdiv(Vh, H)
     m3 = FEMMesh(V3, Th)
     assert m3.volume() == pytest.approx(1.0, rel=1e-12)
+
+
+def test_html_viewer_export(tmp_path):
+    """Self-contained WebGL viewer export (pythreejs viewer parity)."""
+    import json
+    import re
+    from meshfem_tpu import vis
+
+    V, F = generators.grid_tri(4, 4)
+    m = FEMMesh(V, F)
+    p = tmp_path / "v.html"
+    vis.write_html_viewer(p, m, field=np.asarray(m.V)[:, 0],
+                          mode=np.asarray(m.V) * 0.1, n_frames=8)
+    html = p.read_text()
+    assert "webgl" in html and "requestAnimationFrame" in html
+    data = json.loads(re.search(r"const DATA=(\{.*?\});\n", html,
+                                re.S).group(1))
+    assert len(data["V"]) == m.num_vertices
+    assert len(data["F"]) == m.num_elements
+    assert len(data["frames"]) == 8 and data["C"] is not None
+    # tet meshes render their boundary surface
+    V3, T = generators.grid_tet(2, 2, 2)
+    m3 = FEMMesh(V3, T)
+    vis.write_html_viewer(tmp_path / "v3.html", m3)
