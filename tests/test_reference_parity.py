@@ -160,3 +160,44 @@ def test_poisson_convergence_slope(degree, expected):
     errs = [_poisson_l2_error(n, degree) for n in ns]
     slopes = [np.log2(errs[i] / errs[i + 1]) for i in range(len(ns) - 1)]
     assert slopes[-1] == pytest.approx(expected, abs=0.35), (errs, slopes)
+
+
+def _elasticity_l2_error(n, degree, nu):
+    """Manufactured solution u = (sin(pi x) sin(pi y), 0) (homogeneous
+    Dirichlet on the unit square), body force f = -div(sigma)."""
+    import jax.numpy as jnp
+    from meshfem_tpu.physics import ElasticitySimulator, Material
+
+    V, F = generators.grid_tri(n, n)
+    mesh = FEMMesh(V, F, degree=degree)
+    E_mod = 1.0
+    mat = Material.isotropic(2, E_mod, nu)
+    # 2D isotropic() uses the plane-STRESS lambda (ElasticityTensor.hh:100)
+    lam = E_mod * nu / (1 - nu * nu)
+    mu = E_mod / (2 * (1 + nu))
+    pos = np.asarray(mesh.node_positions)
+    s = np.sin(np.pi * pos[:, 0]) * np.sin(np.pi * pos[:, 1])
+    c = np.cos(np.pi * pos[:, 0]) * np.cos(np.pi * pos[:, 1])
+    u_exact = np.stack([s, np.zeros_like(s)], axis=1)
+    f = np.pi ** 2 * np.stack([(lam + 3 * mu) * s, -(lam + mu) * c], axis=1)
+
+    sim = ElasticitySimulator(mesh, mat)
+    M = operators.mass_elasticity(mesh)
+    load = np.asarray(M(jnp.asarray(f)))
+    bdry = np.asarray(mesh.bdry_nodes)
+    load_j = jnp.asarray(load).at[jnp.asarray(bdry)].set(0.0)
+    sim.fix_nodes(bdry, 0.0)
+    u, _ = sim.solve(extra_load=load_j, tol=1e-13)
+    err = jnp.asarray(np.asarray(u) - u_exact)
+    return float(np.sqrt(np.abs(float(jnp.vdot(err, M(err))))))
+
+
+@pytest.mark.parametrize("degree,nu,expected", [
+    (1, 0.3, 2.0), (2, 0.3, 3.0), (2, 0.45, 3.0)])
+def test_elasticity_convergence_slope(degree, nu, expected):
+    """L2 slopes h^2 (P1) / h^3 (P2), including a higher-Poisson-ratio case
+    (the reference's elasticity_convergence sweep)."""
+    ns = (8, 16, 32)
+    errs = [_elasticity_l2_error(n, degree, nu) for n in ns]
+    slopes = [np.log2(errs[i] / errs[i + 1]) for i in range(len(ns) - 1)]
+    assert slopes[-1] == pytest.approx(expected, abs=0.4), (errs, slopes)
