@@ -136,3 +136,54 @@ def triangulate_pslg_quality(outline, holes=(), target_area: float = 0.01,
                               holes=np.asarray(seeds) if seeds else None,
                               min_angle=min_angle, max_area=target_area)
     return out
+
+
+def classify_pslg_entities(V, outline, holes=(), eps: float = 1e-9):
+    """Link triangulation vertices back to the input PSLG entities
+    (``Meshing.hh:559`` PolygonSetTriangulation input-entity links).
+
+    Returns (kind [n], entity [n]):
+      kind 0 = input point   (entity = index into the concatenated input
+                              point list: outline then holes, in order)
+      kind 1 = on an input segment (entity = segment index in the same
+                              concatenated loop ordering)
+      kind 2 = interior      (entity = -1)
+    """
+    V = np.asarray(V, dtype=np.float64)
+    loops = [np.asarray(outline, dtype=np.float64)] + \
+        [np.asarray(h, dtype=np.float64) for h in holes]
+    pts = np.vstack(loops)
+    segs = []
+    base = 0
+    for loop in loops:
+        n = len(loop)
+        segs.extend([(base + i, base + (i + 1) % n) for i in range(n)])
+        base += n
+    segs = np.asarray(segs)
+
+    kind = np.full(len(V), 2, dtype=np.int64)
+    entity = np.full(len(V), -1, dtype=np.int64)
+    # input points (exact within eps)
+    d2 = ((V[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    j = d2.argmin(axis=1)
+    hit = d2[np.arange(len(V)), j] < eps * eps
+    kind[hit] = 0
+    entity[hit] = j[hit]
+    # on-segment (excluding already-matched points)
+    rest = np.flatnonzero(~hit)
+    if len(rest):
+        A = pts[segs[:, 0]]
+        B = pts[segs[:, 1]]
+        AB = B - A                                    # [m, 2]
+        L2 = (AB ** 2).sum(-1)
+        P = V[rest]                                   # [q, 2]
+        t = ((P[:, None, :] - A[None]) * AB[None]).sum(-1) / np.maximum(
+            L2[None], 1e-300)
+        t = np.clip(t, 0.0, 1.0)
+        proj = A[None] + t[:, :, None] * AB[None]
+        dist2 = ((P[:, None, :] - proj) ** 2).sum(-1)
+        sj = dist2.argmin(axis=1)
+        on = dist2[np.arange(len(rest)), sj] < eps * eps
+        kind[rest[on]] = 1
+        entity[rest[on]] = sj[on]
+    return kind, entity

@@ -147,3 +147,20 @@ def test_native_ruppert_quality_cdt():
     # a valid FEM mesh results
     m = FEMMesh(V, F, degree=2)
     assert m.volume() == pytest.approx(8.0, rel=1e-12)
+
+
+def test_pslg_entity_links():
+    """Input-entity links for PSLG triangulations (Meshing.hh:559):
+    every input corner survives, boundary vertices link to segments."""
+    from meshfem_tpu.mesh.triangulate import (triangulate_pslg,
+                                              classify_pslg_entities)
+
+    outline = np.asarray([[0, 0], [2, 0], [2, 1], [0, 1.0]])
+    hole = np.asarray([[0.8, 0.4], [1.2, 0.4], [1.2, 0.6], [0.8, 0.6]])
+    V, F = triangulate_pslg(outline, holes=[hole], target_area=0.02)
+    kind, ent = classify_pslg_entities(V, outline, [hole])
+    assert (kind == 0).sum() == 8            # all 8 input corners present
+    assert set(ent[kind == 0]) == set(range(8))
+    assert (kind == 1).sum() > 0 and (kind == 2).sum() > 0
+    # every on-segment vertex's entity is a valid segment id
+    assert ent[kind == 1].min() >= 0 and ent[kind == 1].max() < 8
