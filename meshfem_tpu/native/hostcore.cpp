@@ -286,6 +286,7 @@ struct CDT {
                 std::swap(nt.v[1], nt.v[2]);
             nt.adj[0] = e.outside;   // opposite vp = the old outside tri
             nt.adj[1] = nt.adj[2] = -1;
+            nt.alive = true;
             tris.push_back(nt);
         }
         // fix adjacency: outside tris point back; new tris link via edges
