@@ -210,3 +210,35 @@ def test_html_viewer_export(tmp_path):
     V3, T = generators.grid_tet(2, 2, 2)
     m3 = FEMMesh(V3, T)
     vis.write_html_viewer(tmp_path / "v3.html", m3)
+
+
+def test_material_stress_strain_fit():
+    """Isotropic + orthotropic moduli recovery from (strain, stress)
+    samples (the reference's optional Ceres StressStrainFit,
+    Materials.hh:200-400)."""
+    import jax.numpy as jnp
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.physics import materials as mats
+
+    rng = np.random.default_rng(0)
+    eps = rng.standard_normal((40, 3)) * 1e-2
+    D = et.isotropic(2, 7.0, 0.27)
+    sig = np.asarray(et.double_contract(D, jnp.asarray(eps)))
+    E, nu = mats.fit_isotropic(eps, sig,
+                               volumes=np.abs(rng.random(40)) + 0.1)
+    assert E == pytest.approx(7.0, rel=1e-6)
+    assert nu == pytest.approx(0.27, abs=1e-6)
+
+    eps3 = rng.standard_normal((40, 6)) * 1e-2
+    Do3 = et.orthotropic_3d(5.0, 8.0, 11.0, 0.25, 0.2, 0.3, 2.0, 3.0, 4.0)
+    sig3 = np.asarray(et.double_contract(Do3, jnp.asarray(eps3)))
+    out = mats.fit_orthotropic(eps3, sig3)
+    for k, v in dict(Ex=5.0, Ey=8.0, Ez=11.0, nu_yx=0.25, nu_zx=0.2,
+                     nu_zy=0.3, mu_yz=2.0, mu_zx=3.0, mu_xy=4.0).items():
+        assert out[k] == pytest.approx(v, rel=1e-9), k
+
+    # round trip: rebuilding the tensor from the fit reproduces it
+    Dr = et.orthotropic_3d(out["Ex"], out["Ey"], out["Ez"], out["nu_yx"],
+                           out["nu_zx"], out["nu_zy"], out["mu_yz"],
+                           out["mu_zx"], out["mu_xy"])
+    np.testing.assert_allclose(np.asarray(Dr), np.asarray(Do3), rtol=1e-9)
