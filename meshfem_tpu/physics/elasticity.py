@@ -296,11 +296,16 @@ class ElasticitySimulator:
     # Solve
     # ------------------------------------------------------------------
     def solve(self, extra_load=None, tol: float = 1e-12,
-              maxiter: int = 50000, x0=None):
+              maxiter: int = 50000, x0=None, precond: str = "jacobi",
+              chebyshev_degree: int = 6):
         """Returns (u [N, dim] nodal displacements, CGResult).
 
-        The solve runs in reduced DOF space; the result is expanded through
-        the dof map (``dofToNodeField``, ``LinearElasticity.hh:665``)."""
+        ``precond``: 'jacobi' (pointwise) | 'block' (exact d x d node
+        blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
+        preconditioned operator — the high-contrast workhorse; see
+        solvers/precond.py).  The solve runs in reduced DOF space; the
+        result is expanded through the dof map (``dofToNodeField``,
+        ``LinearElasticity.hh:665``)."""
         d = self.dim
         b = self.neumann_load
         if extra_load is not None:
@@ -310,7 +315,7 @@ class ElasticitySimulator:
         vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
         free = ~fixed
 
-        if not self.no_rigid_motion and x0 is None:
+        if not self.no_rigid_motion and x0 is None and precond == "jacobi":
             # Fast path: fully jitted solve; operator arrays enter as
             # arguments (no giant baked constants through the compiler).
             res = cg_mod.cg_operator(
@@ -330,9 +335,25 @@ class ElasticitySimulator:
                 v = p(v)
             return v
 
-        diag = self.K_diagonal()
-        safe = jnp.where(diag > 0, diag, 1.0)
-        M_inv = lambda r: r / safe
+        if precond == "jacobi":
+            diag = self.K_diagonal()
+            safe = jnp.where(diag > 0, diag, 1.0)
+            M_inv = lambda r: r / safe
+        else:
+            from ..solvers import precond as pc
+
+            blocks = pc.node_block_diagonal(self.Ke, self.elem_dofs,
+                                            self.num_dofs, d)
+            M_inv = pc.block_jacobi_apply(
+                pc.block_jacobi_inv(blocks, free.astype(self.Ke.dtype)))
+            if precond == "chebyshev":
+                Ap = lambda v: project(self.apply_K(v))
+                Mp = lambda r: project(M_inv(r))
+                lmax = pc.estimate_lambda_max(Ap, Mp, (self.num_dofs, d),
+                                              dtype=self.Ke.dtype)
+                M_inv = pc.chebyshev_preconditioner(
+                    Ap, M_inv, lmax, degree=chebyshev_degree,
+                    project=project)
 
         u_d = jnp.where(fixed, vals, 0.0)
         rhs = b - self.apply_K(u_d)

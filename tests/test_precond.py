@@ -123,3 +123,18 @@ def test_high_contrast_microstructure_homogenization():
                                                            vol_cell))
     np.testing.assert_allclose(Ch, Ch_dir, rtol=1e-8, atol=1e-8
                                * np.abs(Ch_dir).max())
+
+
+def test_simulator_precond_options():
+    """ElasticitySimulator.solve(precond=...) agrees across preconditioners
+    and Chebyshev converges in fewer outer iterations on high contrast."""
+    sim, free, b = contrast_problem()
+    fixed = ~np.asarray(free, bool)
+    nodes = np.flatnonzero(fixed.any(axis=1))
+    sim.fix_nodes(nodes, 0.0)
+    u_j, r_j = sim.solve(extra_load=b, tol=1e-11, precond="jacobi")
+    u_b, r_b = sim.solve(extra_load=b, tol=1e-11, precond="block")
+    u_c, r_c = sim.solve(extra_load=b, tol=1e-11, precond="chebyshev")
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_j), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_j), atol=1e-7)
+    assert int(r_c.iters) < int(r_j.iters)
