@@ -36,7 +36,7 @@ def main(argv=None):
     if K == 2:
         V = V[:, :2]
     mesh = FEMMesh(V, F, degree=args.degree)
-    mat = load_material(args.material)
+    mat = load_material(args.material, dim=mesh.dim)
     sim = ElasticitySimulator(mesh, mat)
     bc = load_bc(args.boundaryConditions, dim=mesh.dim)
     sim.apply_boundary_conditions(bc)

@@ -53,11 +53,15 @@ class Material:
         return et.ElasticityTensor(self.D)
 
 
-def parse_material(data: dict) -> Material:
+def parse_material(data: dict, dim: int | None = None) -> Material:
     """Parse the reference's ``.material`` JSON schema
-    (e.g. ``examples/materials/B9Creator.material``)."""
+    (e.g. ``examples/materials/B9Creator.material``).
+
+    ``dim`` overrides the file's dimension — the reference instantiates
+    the material at the RUN's dimension (a "dim": 3 isotropic file drives
+    2D simulations too, ``Simulate_cli.cc:104-175``)."""
     mtype = data.get("type", "isotropic_material")
-    dim = int(data.get("dim", 3))
+    dim = int(data.get("dim", 3)) if dim is None else int(dim)
     density = float(data.get("density", 1.0))
     if "isotropic" in mtype:
         return Material.isotropic(dim, float(data["young"]),
@@ -78,8 +82,8 @@ def parse_material(data: dict) -> Material:
     raise ValueError(f"unknown material type {mtype!r}")
 
 
-def load_material(path) -> Material:
-    return parse_material(json.loads(Path(path).read_text()))
+def load_material(path, dim: int | None = None) -> Material:
+    return parse_material(json.loads(Path(path).read_text()), dim=dim)
 
 
 def save_material(mat: Material, path) -> None:

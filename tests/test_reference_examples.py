@@ -1,0 +1,91 @@
+"""Drive OUR CLIs with the reference's OWN example input files
+(examples/cantilever/*.bc, examples/materials/*.material — BASELINE
+config 1's exact workflow) and check the physics + direct-solve parity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse.linalg as spla
+
+from meshfem_tpu.io import meshio, msh_fields
+from meshfem_tpu.mesh import FEMMesh, generators
+from meshfem_tpu.physics import ElasticitySimulator, Material
+from meshfem_tpu.physics import boundary_conditions as bc
+from meshfem_tpu.physics.materials import load_material
+
+REF = "/root/reference/examples"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF),
+                                reason="reference examples unavailable")
+
+
+def test_reference_material_file_parses():
+    mat = load_material(os.path.join(REF, "materials/B9Creator.material"))
+    D = np.asarray(mat.D)
+    lam = 200.0 * 0.35 / ((1 + 0.35) * (1 - 0.7))
+    mu = 200.0 / (2 * 1.35)
+    assert D[0, 0] == pytest.approx(lam + 2 * mu, rel=1e-12)
+    assert D[0, 1] == pytest.approx(lam, rel=1e-12)
+
+
+@pytest.mark.parametrize("bc_name,dim,grid", [
+    ("cantilever/cantilever_2D.bc", 2, (10, 2)),
+    ("cantilever/cantilever.bc", 3, (10, 2)),
+])
+def test_cantilever_with_reference_bc(bc_name, dim, grid, tmp_path):
+    """BASELINE config 1: the reference's own cantilever .bc + .material
+    through our Simulate CLI; tip deflects downward, fields match the
+    host f64 direct solve to 1e-8, and the clamp reaction balances the
+    applied force."""
+    from meshfem_tpu.cli import simulate
+
+    if dim == 2:
+        V, F = generators.grid_tri(grid[0] * 2, grid[1] * 2,
+                                   hi=(5.0, 1.0))
+    else:
+        V, F = generators.grid_tet(grid[0], grid[1], grid[1],
+                                   hi=(5.0, 1.0, 1.0))
+    mesh_path = tmp_path / "bar.msh"
+    meshio.save_msh(mesh_path, V if dim == 3 else
+                    np.hstack([V, np.zeros((len(V), 1))]), F)
+
+    out = tmp_path / "out.msh"
+    simulate.main([str(mesh_path),
+                   "-m", os.path.join(REF, "materials/B9Creator.material"),
+                   "-b", os.path.join(REF, bc_name),
+                   "-o", str(out), "--degree", "2"])
+    fields = msh_fields.read_fields(str(out))
+    u = fields["u"]["data"][:, :dim]
+
+    # physics: downward tip deflection, clamped root
+    mesh = FEMMesh(V[:, :dim] if V.shape[1] > dim else V, F, degree=2)
+    pos = np.asarray(mesh.node_positions)
+    tip = pos[:, 0] > 5.0 - 1e-9
+    root = pos[:, 0] < 1e-9
+    assert u[tip, 1].mean() < -1e-3
+    assert np.abs(u[root]).max() < 1e-14
+
+    # direct-solve parity on the same system
+    mat = load_material(os.path.join(REF, "materials/B9Creator.material"),
+                        dim=dim)
+    sim = ElasticitySimulator(mesh, mat)
+    conds = bc.load_bc(os.path.join(REF, bc_name), dim=dim)
+    sim.apply_boundary_conditions(conds)
+    A = sim.to_scipy().tolil()
+    fixed = np.flatnonzero(np.asarray(sim.dirichlet_mask).ravel())
+    rhs = np.asarray(sim.neumann_load).reshape(-1).copy()
+    for i in fixed:
+        A.rows[i] = [i]
+        A.data[i] = [1.0]
+    rhs[fixed] = 0.0
+    ud = spla.spsolve(A.tocsc(), rhs).reshape(sim.num_dofs, dim)
+    scale = np.abs(ud).max()
+    assert np.abs(u - ud).max() / scale < 1e-8
+
+    # global equilibrium: clamp reaction == -(applied force)
+    forces = sim.report_region_surface_forces(jnp.asarray(u))
+    applied = np.zeros(dim)
+    applied[1] = -10.0
+    np.testing.assert_allclose(forces[0], -applied, atol=1e-6)
