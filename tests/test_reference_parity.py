@@ -201,3 +201,50 @@ def test_elasticity_convergence_slope(degree, nu, expected):
     errs = [_elasticity_l2_error(n, degree, nu) for n in ns]
     slopes = [np.log2(errs[i] / errs[i + 1]) for i in range(len(ns) - 1)]
     assert slopes[-1] == pytest.approx(expected, abs=0.4), (errs, slopes)
+
+
+def test_orthocell_homogenization_2d_reference_mesh():
+    """BASELINE config 4 (orthotropic cell): homogenize the reference's own
+    2D orthocell mesh; the reconstructed full tensor must be orthotropic
+    (no normal-shear coupling) and SPD with sane moduli."""
+    from meshfem_tpu.analysis import homogenization as hom
+
+    V, F = load2d("2D_microstructure_orthocell.msh")
+    mesh = FEMMesh(V, F, degree=2)
+    r = hom.homogenize(mesh, Material.isotropic(2, 1.0, 0.3),
+                       orthotropic_cell=True, tol=1e-12)
+    Ch = np.asarray(r.Ch)
+    # orthotropy: zero normal-shear coupling
+    assert abs(Ch[0, 2]) < 1e-10 * abs(Ch[0, 0])
+    assert abs(Ch[1, 2]) < 1e-10 * abs(Ch[0, 0])
+    w = np.linalg.eigvalsh(0.5 * (Ch + Ch.T))
+    assert w.min() > 0
+    # softer than the base material (it has holes), stiffer than nothing
+    assert 0 < Ch[0, 0] < 1.0 / (1 - 0.3 ** 2) + 1e-9
+
+
+def test_vibrational_modes_ball_reference_mesh():
+    """BASELINE config 5: generalized eigensolve (K, M) on the reference's
+    ball.msh vs scipy's shift-invert eigsh (compute_vibrational_modes.py)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    from meshfem_tpu.analysis import modes as modes_mod
+
+    V, F = meshio.load(os.path.join(REF, "ball.msh"))
+    mesh = FEMMesh(V, F, degree=1)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 10.0, 0.3))
+    lam, X = modes_mod.compute_vibrational_modes(sim, n_modes=4,
+                                                 tol=1e-9, maxiter=2000)[:2]
+    K = sim.to_scipy().tocsc()
+    from meshfem_tpu.ops import operators
+
+    M_op = operators.mass_elasticity(mesh)
+    M = M_op.to_scipy().tocsc()
+    # reference eigsh path: smallest modes above the 6 rigid ones
+    w_ref = spla.eigsh(K, k=10, M=M, sigma=0.0, which="LM",
+                       return_eigenvectors=False)
+    w_ref = np.sort(w_ref)
+    # first 6 are (numerically) rigid
+    assert np.abs(w_ref[:6]).max() < 1e-8 * abs(w_ref[6])
+    np.testing.assert_allclose(np.sort(np.asarray(lam))[:4],
+                               w_ref[6:10], rtol=1e-5)
