@@ -389,15 +389,18 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
                                         segs.back().second));
     }
 
-    auto has_edge = [&](int64_t a, int64_t b) {
+    std::set<std::pair<int64_t, int64_t>> edge_set;
+    auto rebuild_edge_set = [&]() {
+        edge_set.clear();
         for (const Tri& T : cdt.tris) {
             if (!T.alive) continue;
-            for (int i = 0; i < 3; ++i) {
-                int64_t ea = T.v[(i + 1) % 3], eb = T.v[(i + 2) % 3];
-                if (CDT::key(ea, eb) == CDT::key(a, b)) return true;
-            }
+            for (int i = 0; i < 3; ++i)
+                edge_set.insert(CDT::key(T.v[(i + 1) % 3],
+                                         T.v[(i + 2) % 3]));
         }
-        return false;
+    };
+    auto has_edge = [&](int64_t a, int64_t b) {
+        return edge_set.count(CDT::key(a, b)) > 0;
     };
     auto encroached = [&](int64_t a, int64_t b) -> int64_t {
         const P2& A = cdt.pts[a];
@@ -412,14 +415,26 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
         }
         return -1;
     };
+    std::vector<char> frozen;   // segments that can no longer be split
     auto split_seg = [&](size_t si) {
         int64_t a = segs[si].first, b = segs[si].second;
-        cdt.constrained.erase(CDT::key(a, b));
         P2 m{0.5 * (cdt.pts[a].x + cdt.pts[b].x),
              0.5 * (cdt.pts[a].y + cdt.pts[b].y)};
+        // un-constrain BEFORE inserting: the cavity search must be able to
+        // cross the edge its midpoint lands on
+        cdt.constrained.erase(CDT::key(a, b));
         int64_t vm = cdt.insert(m);
+        if (vm < 0 || vm == a || vm == b) {
+            cdt.constrained.insert(CDT::key(a, b));
+            // midpoint coincides with an existing vertex or location
+            // failed: the segment is at the resolution floor — freeze it
+            // (re-splitting forever would blow up the triangulation).
+            frozen[si] = 1;
+            return;
+        }
         segs[si] = {a, vm};
         segs.push_back({vm, b});
+        frozen.push_back(0);
         cdt.constrained.insert(CDT::key(a, vm));
         cdt.constrained.insert(CDT::key(vm, b));
     };
@@ -428,11 +443,14 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
     const double cot2 = 1.0 / (4.0 * std::sin(min_angle) * std::sin(min_angle));
     const int64_t MAX_V = 200000;
 
+    frozen.assign(segs.size(), 0);
     for (int iter = 0; iter < 200000; ++iter) {
         if ((int64_t)cdt.pts.size() > MAX_V) break;
+        rebuild_edge_set();
         // 1) missing or encroached segments first
         bool did = false;
         for (size_t si = 0; si < segs.size(); ++si) {
+            if (frozen[si]) continue;
             if (!has_edge(segs[si].first, segs[si].second)
                 || encroached(segs[si].first, segs[si].second) >= 0) {
                 split_seg(si);
@@ -486,6 +504,7 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
         // if cc encroaches a segment, split those segments instead
         bool enc = false;
         for (size_t si = 0; si < segs.size(); ++si) {
+            if (frozen[si]) continue;
             const P2& Sa = cdt.pts[segs[si].first];
             const P2& Sb = cdt.pts[segs[si].second];
             double mx = 0.5 * (Sa.x + Sb.x), my = 0.5 * (Sa.y + Sb.y);

@@ -92,6 +92,17 @@ def parse_bc(data: dict | str, dim: int = 3) -> BoundaryConditions:
             raise ValueError(f"unknown BC type {r['type']!r}")
         base, mask, suffix = m.group(1), m.group(2), (m.group(3) or "")
         cmask = ComponentMask(mask)
+        if suffix == " elements" and base not in ("traction", "pressure",
+                                                  "force"):
+            # the reference only defines element-indexed NEUMANN conditions
+            # (NeumannElementsCondition); element-set Dirichlet goes through
+            # the 'element vertices' key instead (BoundaryConditions.cc:297)
+            raise ValueError(f"'{base} elements' is not a condition type; "
+                             "use 'element vertices' for Dirichlet element "
+                             "sets")
+        if suffix == " nodes" and base not in ("dirichlet", "target",
+                                               "delta_force"):
+            raise ValueError(f"'{base} nodes' is not a condition type")
         if suffix == " nodes":
             # indexed node condition: values = [[vec, [node ids...]], ...]
             # (parseNodeConditionValues, BoundaryConditions.cc:64-81)
@@ -208,14 +219,13 @@ def match_boundary_elements(mesh, region: BCRegion, tol_frac: float = 1e-7):
     if region.kind == "elements":
         lookup = {frozenset(int(v) for v in row): i
                   for i, row in enumerate(np.asarray(mesh.bdry_elems))}
-        out, order = [], []
-        for j, key in enumerate(region.element_corners):
+        out = []
+        for key in region.element_corners:
             if key not in lookup:
                 raise ValueError(
                     "Some element boundary conditions weren't matched "
                     f"(vertex set {sorted(key)})")
             out.append(lookup[key])
-            order.append(j)
         return np.asarray(out, dtype=np.int64)
     if region.kind == "polygon":
         ok = np.ones(mesh.num_boundary_elements, dtype=bool)

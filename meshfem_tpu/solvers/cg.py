@@ -270,14 +270,19 @@ def cg_block(A, B, *, M_inv=None, project=None, tol: float = 1e-10,
     def cond(state):
         x, r, z, p, gamma, k = state
         rr = cdot(r, r)
-        return jnp.logical_and(k < maxiter, jnp.any(rr > stop2))
+        live = jnp.logical_and(rr > stop2, jnp.isfinite(rr))
+        return jnp.logical_and(k < maxiter, jnp.any(live))
 
     def body(state):
         x, r, z, p, gamma, k = state
-        live = (cdot(r, r) > stop2).astype(x.dtype)
         Ap = project(A(p))
         den = cdot(p, Ap)
-        alpha = live * gamma / jnp.where(den != 0, den, 1.0)
+        # per-column breakdown guard (same rationale as cg()): non-positive
+        # or non-finite curvature freezes that column instead of diverging
+        # (roundoff-level RHS columns of singular periodic systems).
+        good = jnp.logical_and(jnp.isfinite(den), den > 0)
+        live = jnp.logical_and(cdot(r, r) > stop2, good).astype(x.dtype)
+        alpha = live * gamma / jnp.where(den > 0, den, 1.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(M_inv(r))

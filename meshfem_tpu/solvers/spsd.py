@@ -36,13 +36,23 @@ class SPSDSystem:
         else:
             self._scipy = A.tocsr()
             self.n = A.shape[0]
-            self._apply = lambda u: jnp.asarray(self._scipy @ np.asarray(u))
+            self._apply = self._scipy_apply
         self._M_inv = M_inv
         self._fixed = np.zeros(self.n, dtype=bool)
         self._fixed_values = np.zeros(self.n)
         self._C = None          # [k, n] constraint matrix
         self._c_rhs = None
         self._null_proj = None
+
+    def _scipy_apply(self, u):
+        # host matvec usable under jit/while_loop tracing (pure_callback;
+        # a plain np.asarray on a tracer raises TracerArrayConversionError)
+        import jax
+
+        shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+        return jax.pure_callback(
+            lambda x: np.asarray(self._scipy @ np.asarray(x),
+                                 dtype=x.dtype), shape, u)
 
     # -- constraint API (reference names) --------------------------------
     def fix_variables(self, vars, values) -> None:
@@ -109,7 +119,7 @@ class SPSDSystem:
             Ap = self._apply
             rhs = b - Ap(u_p)
         elif self._scipy is not None:
-            Ap = lambda V: jnp.asarray(self._scipy @ np.asarray(V))
+            Ap = self._scipy_apply
             rhs = b - Ap(jnp.broadcast_to(u_p[:, None], b.shape))
         else:
             # Batch the matrix-free operator over RHS columns as ONE fused

@@ -131,7 +131,7 @@ def write_html_viewer(path, mesh, field=None, deformation=None,
         t = (f - lo) / max(hi - lo, 1e-30)
         # viridis-ish 3-stop ramp
         col = np.stack([
-            0.267 + t * (0.993 - 0.267) * t,
+            0.267 + (0.993 - 0.267) * t,
             0.005 + 0.9 * t,
             0.329 + (1 - t) * 0.4], axis=1)
         col = np.clip(col, 0, 1)

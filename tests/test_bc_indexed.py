@@ -123,3 +123,15 @@ def test_posedness_analysis():
     sim.fix_nodes(left, 0.0)
     t, r = sim.analyze_dirichlet_posedness()
     assert not t.any() and not r
+
+
+def test_invalid_indexed_type_combinations_rejected():
+    """'dirichlet elements' / 'force nodes' are not reference condition
+    types; the parser must reject them instead of crashing in apply."""
+    with pytest.raises(ValueError, match="element vertices"):
+        bc.parse_bc({"regions": [{"type": "dirichlet elements",
+                                  "values": [[[0, 0, 0], [[0, 1]]]]}]},
+                    dim=2)
+    with pytest.raises(ValueError, match="not a condition type"):
+        bc.parse_bc({"regions": [{"type": "force nodes",
+                                  "values": [[[0, 0, 0], [0]]]}]}, dim=2)

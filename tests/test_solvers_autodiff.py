@@ -281,3 +281,20 @@ def test_newton_bound_constraints():
     # some bounds are genuinely active for this data
     assert ((np.abs(np.asarray(x) - lo) < 1e-9)
             | (np.abs(np.asarray(x) - hi) < 1e-9)).any()
+
+
+def test_spsd_scipy_large_multi_rhs_traceable():
+    """scipy-backed SPSD above the direct-solve threshold must work under
+    the traced CG loop (pure_callback matvec, single and multi RHS)."""
+    import scipy.sparse as sp
+
+    n = 25000
+    A = sp.diags([np.full(n, 4.0), np.full(n - 1, -1.0),
+                  np.full(n - 1, -1.0)], [0, -1, 1]).tocsr()
+    sys_ = spsd.SPSDSystem(A)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, 2))
+    X = np.asarray(sys_.solve(jnp.asarray(B), tol=1e-10))
+    assert np.abs(A @ X - B).max() < 1e-7
+    x1 = np.asarray(sys_.solve(jnp.asarray(B[:, 0]), tol=1e-10))
+    assert np.abs(A @ x1 - B[:, 0]).max() < 1e-7
