@@ -29,7 +29,10 @@ import numpy as np  # noqa: E402
 
 
 def per_iter(make_f, args, lens=(4, 36), reps=3):
-    """RTT-free per-iteration cost of a scan body (seconds)."""
+    """RTT-free per-iteration cost of a scan body (seconds).  The two trip
+    counts must be chosen so the difference towers over the relay's
+    round-trip variance; a non-positive difference reports inf-guarded
+    1 ms (flagging a mis-sized measurement rather than inventing a rate)."""
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +47,8 @@ def per_iter(make_f, args, lens=(4, 36), reps=3):
             float(jnp.sum(f(s, *args)))
             best.append(time.time() - t0)
         ts[L] = float(np.median(best))
-    return max((ts[lens[1]] - ts[lens[0]]) / (lens[1] - lens[0]), 1e-9)
+    diff = (ts[lens[1]] - ts[lens[0]]) / (lens[1] - lens[0])
+    return diff if diff > 0 else 1e-3
 
 
 def main():
@@ -163,8 +167,12 @@ def main():
                 project=project, iters=L).x
         return f
 
+    # The structured iteration is ~0.1-0.4 ms: the trip-count difference
+    # must tower over the +-10-20 ms relay round-trip variance, so compare
+    # 16 vs 816 iterations (~200-300 ms of signal).
     t0 = time.time()
-    t_str = per_iter(mk_cgs, (op, bp, valid, diagp), lens=(4, 36))
+    t_str = per_iter(mk_cgs, (op, bp, valid, diagp), lens=(16, 816),
+                     reps=5)
     timings["cg_structured_bench_s"] = round(time.time() - t0, 2)
     pcg_structured = 1.0 / t_str
 
