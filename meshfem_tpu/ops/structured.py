@@ -251,7 +251,11 @@ class StructuredP2Elasticity:
     # ------------------------------------------------------------------
     def _build_packed(self, P: int = 5):
         mx, my, mz = (self.n3[0] + 1, self.n3[1] + 1, self.n3[2] + 1)
-        G = -(-mz // P)
+        # Pad the z-group dim to >= 3: XLA:TPU's conv over a size-1/2
+        # spatial dim with a 3-tap kernel intermittently faults the worker
+        # (observed on v5e); the extra groups are all-zero dead slots that
+        # the valid mask already excludes.
+        G = max(-(-mz // P), 3)
         C = 24 * P
         self.P, self.G, self.C = P, G, C
         dt = self.kernel.dtype

@@ -117,8 +117,32 @@ def cg(
     rr0 = _dot(r0, r0)
     state = (x0, r0, z0, z0, gamma0, jnp.asarray(0, dtype=jnp.int32),
              jnp.asarray(False), rr0, jnp.asarray(0, dtype=jnp.int32), x0)
-    (x, r, z, p, gamma, k, done, rr_best, stall, x_best) = \
-        jax.lax.while_loop(cond, body, state)
+    # Chunked dispatches when running eagerly: a single device loop running
+    # for minutes gets the worker killed on relayed backends, so cap each
+    # dispatch at CHUNK iterations and continue from the carried state (one
+    # scalar readback per chunk; identical math).  Under an outer jit
+    # (cg_operator, implicit-diff custom_linear_solve) fall back to the
+    # single traced while_loop.
+    CHUNK = 1024
+    import jax.core as _core
+
+    def run_chunk(state, limit):
+        def c2(s):
+            return jnp.logical_and(cond(s), s[5] < limit)
+        return jax.lax.while_loop(c2, body, state)
+
+    if isinstance(b, _core.Tracer) or isinstance(gamma0, _core.Tracer):
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        run_chunk_j = jax.jit(run_chunk)
+        while True:
+            limit = jnp.asarray(min(int(state[5]) + CHUNK, maxiter),
+                                jnp.int32)
+            state = run_chunk_j(state, limit)
+            if bool(state[6]) or int(state[5]) >= maxiter \
+                    or not bool(cond(state)):
+                break
+    (x, r, z, p, gamma, k, done, rr_best, stall, x_best) = state
     # If the current iterate is worse than the tracked best (abnormal stop
     # or maxiter during an oscillation), return the best.
     use_best = rr_best < _dot(r, r)
@@ -293,5 +317,33 @@ def cg_block(A, B, *, M_inv=None, project=None, tol: float = 1e-10,
         return (x, r, z, p, gamma, k + 1)
 
     state = (x, r, z, z, gamma, jnp.asarray(0, jnp.int32))
-    x, r, z, p, gamma, k = jax.lax.while_loop(cond, body, state)
+    CHUNK = 1024   # bounded dispatches (see cg(): relay worker watchdog)
+    import jax.core as _core
+
+    def run_chunk(state, limit):
+        def c2(s):
+            return jnp.logical_and(cond(s), s[5] < limit)
+        return jax.lax.while_loop(c2, body, state)
+
+    if isinstance(B, _core.Tracer) or isinstance(gamma, _core.Tracer):
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        run_chunk_j = jax.jit(run_chunk)
+        import numpy as _np
+
+        prev_rr = None
+        while True:
+            limit = jnp.asarray(min(int(state[5]) + CHUNK, maxiter),
+                                jnp.int32)
+            state = run_chunk_j(state, limit)
+            if int(state[5]) >= maxiter or not bool(cond(state)):
+                break
+            # host-side stagnation check at chunk boundaries: columns stuck
+            # at their roundoff floor otherwise grind to maxiter
+            rr = _np.asarray(cdot(state[1], state[1]))
+            if prev_rr is not None and bool(
+                    _np.all(rr >= 0.999 * prev_rr)):
+                break
+            prev_rr = rr
+    x, r, z, p, gamma, k = state
     return CGResult(x, k, jnp.sqrt(cdot(r, r)))
