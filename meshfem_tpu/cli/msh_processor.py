@@ -69,8 +69,15 @@ def _reduce(a, op, axis):
         return np.take_along_axis(
             a, np.expand_dims(np.abs(a).argmax(axis=axis), axis),
             axis).squeeze(axis)
-    if op == "index":
-        return np.abs(a).argmax(axis=axis).astype(float)
+    if op == "index" or op.startswith("index:"):
+        # ReductionIndex (Reductions.inl:54-65): extract the value at the
+        # requested index; out-of-bounds is an error (index 0 if no arg).
+        _, _, iarg = op.partition(":")
+        i = int(iarg) if iarg else 0
+        n = a.shape[axis]
+        if not (0 <= i < n):
+            raise ValueError(f"Out-of-bounds 'index' reduction: {i} >= {n}")
+        return np.take(a, i, axis=axis)
     raise ValueError(op)
 
 
@@ -115,7 +122,8 @@ def apply_op(stack, tok, ctx: Ctx):
     elif op in _REDUCTIONS:
         a = pop()
         axis = -1 if a.data.ndim > 1 else 0
-        stack.append(Named(f"{op}({a.name})", _reduce(a.data, op, axis)))
+        full = op if not arg else f"{op}:{arg}"
+        stack.append(Named(f"{full}({a.name})", _reduce(a.data, full, axis)))
     elif op == "outer":
         a = pop()
         stack.append(Named(f"outer{arg}({a.name})", _reduce(a.data, arg, 0)))

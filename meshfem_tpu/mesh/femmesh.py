@@ -50,7 +50,8 @@ class FEMMesh:
     shape-derivative ``delta*`` machinery).
     """
 
-    def __init__(self, V, F, degree: int = 1, embedding_dim: int | None = None):
+    def __init__(self, V, F, degree: int = 1, embedding_dim: int | None = None,
+                 node_order: str = "reference"):
         F = np.ascontiguousarray(F, dtype=np.int64)
         V = np.atleast_2d(np.ascontiguousarray(V, dtype=np.float64))
         K = F.shape[1] - 1
@@ -118,6 +119,52 @@ class FEMMesh:
         mask = np.zeros(self.num_nodes, dtype=bool)
         mask[self.bdry_nodes] = True
         self.is_bdry_node = mask
+
+        # --- node numbering -------------------------------------------
+        # "reference": vertices first, then edge nodes in sorted-edge order
+        # (the reference's FEMMesh.inl:11-83 convention).  "morton":
+        # renumber ALL nodes along a Z-order curve of their positions —
+        # required by the lane-routing SpMV (sparse/route.py), whose chain
+        # depth tracks the windowed spread of each element's node ids (the
+        # reference convention scatters a P2 element's edge nodes across
+        # the whole edge range).  self.vertex_nodes maps vertex i -> node
+        # id under the active numbering.
+        if node_order in ("morton", "rcb", "firsttouch"):
+            from .reorder import _morton_codes, rcb_order
+
+            if node_order == "rcb":
+                old_of_new = rcb_order(node_pos)
+            elif node_order == "firsttouch":
+                # number nodes by first occurrence in element order: an
+                # element block's nodes are then its own id range plus the
+                # ranges of a few earlier neighbour blocks — the minimal-
+                # spread numbering for the routed SpMV (elements should be
+                # spatially sorted first, e.g. reorder_mesh(order="rcb"))
+                flat = self.elem_nodes.reshape(-1)
+                uniq, first_pos = np.unique(flat, return_index=True)
+                old_of_new = uniq[np.argsort(first_pos, kind="stable")]
+                if len(old_of_new) < self.num_nodes:  # unused nodes last
+                    rest = np.setdiff1d(np.arange(self.num_nodes),
+                                        old_of_new)
+                    old_of_new = np.concatenate([old_of_new, rest])
+            else:
+                old_of_new = np.argsort(_morton_codes(node_pos),
+                                        kind="stable")
+            new_of_old = np.empty(self.num_nodes, dtype=np.int64)
+            new_of_old[old_of_new] = np.arange(self.num_nodes)
+            self.elem_nodes = new_of_old[self.elem_nodes]
+            self.node_positions = node_pos[old_of_new]
+            self.bdry_elem_nodes = new_of_old[self.bdry_elem_nodes]
+            self.bdry_nodes = np.sort(new_of_old[self.bdry_nodes])
+            self.is_bdry_node = self.is_bdry_node[old_of_new]
+            self.vertex_nodes = new_of_old[:nv]
+            self.node_perm = new_of_old          # old node id -> new
+        elif node_order == "reference":
+            self.vertex_nodes = np.arange(nv, dtype=np.int64)
+            self.node_perm = np.arange(self.num_nodes, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown node_order {node_order!r}")
+        self.node_order = node_order
 
         self._geom_cache: ElementGeometry | None = None
 

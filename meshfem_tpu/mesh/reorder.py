@@ -30,14 +30,50 @@ def _morton_codes(points, bits: int = 21) -> np.ndarray:
     return code
 
 
-def reorder_mesh(V, F):
+def rcb_order(points, leaf: int = 128) -> np.ndarray:
+    """Recursive coordinate bisection ordering: split along the widest
+    axis at the median until cells hold <= ``leaf`` points; DFS leaf order.
+
+    Unlike a Morton curve (whose octant boundaries scatter a compact 3D
+    cluster over an id span ~6x its size — measured 19 source windows per
+    1024-slot route on the 35^3 bench mesh), RCB cells of 128 points ARE
+    the 128-lane routing windows, so each element block's nodes land in a
+    handful of windows.  This is what the routed SpMV's chain depth (and
+    thus its cost) tracks."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    stack = [np.arange(n)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= leaf:
+            order[pos: pos + len(idx)] = idx
+            pos += len(idx)
+            continue
+        p = pts[idx]
+        axis = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        half = len(idx) // 2
+        part = np.argpartition(p[:, axis], half)
+        # push right half first so the left half is processed next (DFS)
+        stack.append(idx[part[half:]])
+        stack.append(idx[part[:half]])
+    return order
+
+
+def reorder_mesh(V, F, order: str = "morton"):
     """Return (V2, F2, vperm, eperm): elements sorted by centroid Morton
-    code, vertices renumbered by first touch in the new element order.
-    vperm maps old vertex index -> new; eperm is the element order."""
+    code (or RCB leaf order with ``order="rcb"`` — preferred for the
+    routed SpMV), vertices renumbered by first touch in the new element
+    order.  vperm maps old vertex index -> new; eperm is the element
+    order."""
     V = np.asarray(V)
     F = np.asarray(F)
     centroids = V[F].mean(axis=1)
-    eperm = np.argsort(_morton_codes(centroids), kind="stable")
+    if order == "rcb":
+        eperm = rcb_order(centroids)
+    else:
+        eperm = np.argsort(_morton_codes(centroids), kind="stable")
     F_sorted = F[eperm]
     # First-touch vertex numbering.
     flat = F_sorted.ravel()

@@ -100,10 +100,14 @@ class ScatterPlan:
 
 
 def plan_for(ids, num_segments: int, g1: int = 8) -> ScatterPlan:
-    """Content-keyed cached ScatterPlan (ids hashed by bytes, so a recycled
-    array id can never alias a stale plan)."""
+    """Content-keyed cached ScatterPlan.  Keyed on a cryptographic digest of
+    the id bytes (not Python's 64-bit hash): a hash collision between two
+    different id arrays would silently reuse the wrong gather plan."""
+    import hashlib
+
     ids = np.ascontiguousarray(np.asarray(ids).reshape(-1))
-    key = (hash(ids.tobytes()), ids.size, num_segments, g1)
+    key = (hashlib.sha1(ids.tobytes()).hexdigest(), ids.size, num_segments,
+           g1)
     plan = _PLAN_CACHE.get(key)
     if plan is None:
         plan = ScatterPlan.build(ids, num_segments, g1)

@@ -1,0 +1,132 @@
+"""Lane-routing kernel plans (sparse/route.py) and the routed EBE operator.
+
+Runs on CPU in pallas interpret mode; the kernels themselves are exercised
+on real hardware by bench.py.  Reference semantics:
+
+  plan_copy(src_ids, n)(x)[i]  == x[src_ids[i]]        (0.0 where id < 0)
+  plan_reduce(dst, n, S)(x)[d] == sum_{i: dst[i]==d} x[i]
+
+against plain numpy, including the paging (multi-block sources), chain
+bucketing, budget-overflow spill, and fix-up paths.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from meshfem_tpu.sparse import route
+
+
+def _copy_ref(sid, src):
+    return np.where(sid >= 0, src[np.maximum(sid, 0)], 0.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("blk_rows", [128, 1024])
+def test_plan_copy_random_local(rng, blk_rows):
+    n_src, n_out = 60000, 9000
+    base = np.repeat(rng.integers(0, n_src - 700, n_out // 100), 100)
+    sid = np.minimum(base + rng.integers(0, 700, n_out), n_src - 1)
+    sid[rng.integers(0, n_out, 40)] = rng.integers(0, n_src, 40)  # far
+    sid[rng.integers(0, n_out, 25)] = -1
+    src = rng.standard_normal(n_src).astype(np.float32)
+    plan = route.plan_copy(sid, n_src, blk_rows=blk_rows)
+    out = np.asarray(plan(jnp.asarray(src), interpret=True))
+    np.testing.assert_array_equal(out, _copy_ref(sid, src))
+
+
+def test_plan_copy_tiny(rng):
+    sid = np.array([3, 1, -1, 0, 2, 2])
+    src = np.arange(5, dtype=np.float32) * 10
+    plan = route.plan_copy(sid, 5)
+    out = np.asarray(plan(jnp.asarray(src), interpret=True))
+    np.testing.assert_array_equal(out, [30, 10, 0, 0, 20, 20])
+
+
+def test_plan_reduce_matches_numpy(rng):
+    n_out, S = 5000, 40000
+    dst = rng.integers(0, n_out, S)
+    hot = rng.integers(0, n_out, 60)
+    dst[:3000] = hot[rng.integers(0, 60, 3000)]   # degrees up to ~60
+    dst[rng.integers(0, S, 30)] = -1
+    order = np.argsort(dst + rng.integers(0, 40, S))
+    dst = dst[order]
+    src = rng.standard_normal(S).astype(np.float32)
+    plan = route.plan_reduce(dst, n_out, S, blk_rows=256)
+    out = np.asarray(plan(jnp.asarray(src), interpret=True))
+    ref = np.zeros(n_out)
+    np.add.at(ref, dst[dst >= 0], src[dst >= 0].astype(np.float64))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_plan_reduce_deterministic(rng):
+    n_out, S = 700, 6000
+    dst = np.sort(rng.integers(0, n_out, S))
+    src = rng.standard_normal(S).astype(np.float32)
+    plan = route.plan_reduce(dst, n_out, S)
+    a = np.asarray(plan(jnp.asarray(src), interpret=True))
+    b = np.asarray(plan(jnp.asarray(src), interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_routed_ebe_matches_gather_pyramid(rng):
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.ops import element_matrices as em
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.sparse.ebe import EBEKernel
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tet(5, 4, 3)
+    mesh = FEMMesh(V, T, degree=2, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    D = et.isotropic(3, 200.0, 0.3)
+    M = em.fused_matrix_for(D, 3, 2, jnp.float32)
+    Ke = em.element_elasticity_fused_apply(
+        jnp.asarray(gl, jnp.float32), jnp.asarray(vol, jnp.float32), M, 10)
+    kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
+    u = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
+    y0 = np.asarray(kern(u))
+    y1 = np.asarray(rk(u))
+    scale = np.abs(y0).max()
+    np.testing.assert_allclose(y1 / scale, y0 / scale, atol=5e-6)
+    d0 = np.asarray(kern.diagonal())
+    d1 = np.asarray(rk.diagonal())
+    np.testing.assert_allclose(d1, d0, rtol=2e-5)
+
+
+def test_routed_ebe_scalar_p1_tri(rng):
+    """Scalar Laplace on P1 triangles exercises d == 1 and small nd."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.sparse.ebe import EBEKernel
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tri(7, 6)
+    mesh = FEMMesh(V, T, degree=1, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 2)
+    Ke = jnp.einsum("eid,ejd,e->eij", gl, gl, jnp.abs(vol))
+    Ke = jnp.asarray(Ke, jnp.float32)
+    kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 1)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 1)
+    u = jnp.asarray(rng.standard_normal(mesh.num_nodes), jnp.float32)
+    y0 = np.asarray(kern(u))
+    y1 = np.asarray(rk(u))
+    np.testing.assert_allclose(y1, y0, atol=np.abs(y0).max() * 1e-5)
+
+
+def test_morton_node_order_consistency():
+    from meshfem_tpu.mesh import FEMMesh, generators
+
+    V, T = generators.grid_tet(4, 4, 4)
+    ref = FEMMesh(V, T, degree=2)
+    mor = FEMMesh(V, T, degree=2, node_order="morton")
+    assert mor.num_nodes == ref.num_nodes
+    # the permutation maps reference numbering onto morton numbering
+    perm = mor.node_perm
+    np.testing.assert_array_equal(perm[ref.elem_nodes], mor.elem_nodes)
+    np.testing.assert_array_equal(ref.node_positions[ref.elem_nodes],
+                                  mor.node_positions[mor.elem_nodes])
+    np.testing.assert_array_equal(np.sort(perm[ref.bdry_nodes]),
+                                  mor.bdry_nodes)
+    np.testing.assert_array_equal(mor.node_positions[mor.vertex_nodes], V)
