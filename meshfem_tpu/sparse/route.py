@@ -480,9 +480,10 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
     Work layout: output window w covers dofs [128w, 128w + 128); each task
     vreg routes up to 8 contributions per dof (sublanes) for one window and
     is sublane-summed in-kernel; tasks accumulate into a resident
-    [YBLOCK, 128] output block.  Chunks of 8 contributions are greedily
-    packed into tasks under a per-task source-window budget, so chain depth
-    never exceeds ``chain_budget``."""
+    [YBLOCK, 128] output block.  Chunks of 8 contributions are packed into
+    tasks by occurrence rank under a per-window min-source-window sort
+    (fully vectorized — no per-chunk host loop); tasks whose chain exceeds
+    the bucket ladder spill their far slots to the XLA fix-up list."""
     dst_ids = np.ascontiguousarray(np.asarray(dst_ids, np.int64).reshape(-1))
     S = len(dst_ids)
     valid = np.nonzero(dst_ids >= 0)[0]
@@ -510,42 +511,53 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
     cw_offs = np.concatenate(
         [[0], np.cumsum(np.bincount(chunk_win_out, minlength=n_win))])
 
-    # Greedy single-pass packing per output window: chunks sorted by their
-    # min source window so neighbours share source windows; a task closes
-    # when the next chunk would exceed the window budget or reuse a lane.
-    tasks_sid: list[np.ndarray] = []      # [8,128] source ids
-    tasks_win: list[int] = []             # global output window
-    task_nwin: list[int] = []             # source-window count (chain)
-    for w in range(n_win):
-        c0, c1 = cw_offs[w], cw_offs[w + 1]
-        if c1 == c0:
-            continue
-        sel = c0 + np.argsort(chunk_minwin[c0:c1], kind="stable")
-        cur = None
-        for ci in sel:
-            lane = chunk_dof[ci] & 127
-            slots = order[chunk_start[ci]: chunk_end[ci]]
-            cw = set((slots >> 7).tolist())
-            if (cur is None or lane in cur_lanes
-                    or len(cur_wins | cw) > chain_budget):
-                cur = np.full((8, 128), -1, np.int64)
-                tasks_sid.append(cur)
-                tasks_win.append(w)
-                task_nwin.append(0)
-                cur_wins = set()
-                cur_lanes = set()
-            cur[: len(slots), lane] = slots
-            cur_wins |= cw
-            cur_lanes.add(lane)
-            task_nwin[-1] = len(cur_wins)
-
-    n_tasks = len(tasks_sid)
-    tasks_win_a = np.asarray(tasks_win, np.int64)
+    # Vectorized occurrence-rank packing: within each output window, chunks
+    # sort by their min source window (locality); chunks of the same dof
+    # (lane) must land in distinct tasks, so a chunk's task is its
+    # occurrence rank within (window, lane) under that sort.  Chains are
+    # whatever the grouping yields — structurally small for
+    # locality-preserving orderings — and over-budget tasks spill through
+    # ``_emit_tables``'s keep-most-used fallback.
+    n_chunks = len(chunk_dof)
+    lane = chunk_dof & 127
+    o = np.lexsort((chunk_minwin, lane, chunk_win_out))
+    gkey = chunk_win_out[o] * 128 + lane[o]
+    first = np.ones(n_chunks, dtype=bool)
+    first[1:] = gkey[1:] != gkey[:-1]
+    starts_idx = np.nonzero(first)[0]
+    grp_len = np.diff(np.concatenate([starts_idx, [n_chunks]]))
+    occ = np.arange(n_chunks) - np.repeat(starts_idx, grp_len)
+    # task key = (window, occurrence); dense task indices in that order
+    tkey = chunk_win_out[o] * np.int64(max(occ.max(initial=0) + 1, 1)) \
+        + occ
+    uniq_t, task_of_chunk = np.unique(tkey, return_inverse=True)
+    n_tasks = len(uniq_t)
+    tasks_win_a = np.zeros(n_tasks, np.int64)
+    tasks_win_a[task_of_chunk] = chunk_win_out[o]
+    # fill [n_tasks, 8, 128] source-id slabs
+    tasks_sid = np.full((n_tasks, 8, 128), -1, np.int64)
+    cs, ce = chunk_start[o], chunk_end[o]
+    clen = ce - cs
+    flat_rows = np.repeat(np.arange(n_chunks), clen)
+    within_c = np.arange(clen.sum()) - np.repeat(np.cumsum(clen) - clen,
+                                                clen)
+    slot_vals = order[np.repeat(cs, clen) + within_c]
+    tasks_sid[task_of_chunk[flat_rows], within_c, lane[o][flat_rows]] = \
+        slot_vals
+    # per-task chain depth = distinct source windows
+    t_rep = task_of_chunk[flat_rows]
+    wkey = np.unique(t_rep * np.int64(src_rows + 1) + (slot_vals >> 7))
+    task_nwin = np.bincount(wkey // np.int64(src_rows + 1),
+                            minlength=n_tasks)
+    task_minwin = np.full(n_tasks, np.iinfo(np.int64).max)
+    np.minimum.at(task_minwin, t_rep, slot_vals >> 7)
+    task_minwin[task_minwin == np.iinfo(np.int64).max] = 0
     task_block = tasks_win_a // YBLOCK
     # block bucket = chain bucket of its worst task
     blk_bucket = np.zeros(NBL, np.int64)
     np.maximum.at(blk_bucket, task_block,
-                  np.array([_chain_bucket(c) for c in task_nwin]))
+                  np.searchsorted(BUCKETS,
+                                  np.clip(task_nwin, 1, BUCKETS[-1])))
     # order blocks bucket-major (stable), tasks by (block order, window)
     blocks_order = np.lexsort((np.arange(NBL), blk_bucket))
     block_rank = np.empty(NBL, np.int64)
@@ -600,10 +612,7 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
             tsel = task_order[task_block[task_order] == b]
             # per-task source block (min source window's block); order the
             # block's tasks by it so steps form long same-block runs
-            tblk = np.empty(len(tsel), np.int64)
-            for j, t in enumerate(tsel):
-                m = tasks_sid[t][tasks_sid[t] >= 0]
-                tblk[j] = (int(m.min()) >> 7) // blk_rows if len(m) else 0
+            tblk = task_minwin[tsel] // blk_rows
             reord = np.argsort(tblk, kind="stable")
             tsel = tsel[reord]
             tblk = tblk[reord]
@@ -628,7 +637,7 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
                 state["obk"].append(local_b)
                 for t in tsel[i:j]:
                     state["sid_rows"].append(tasks_sid[t])
-                    state["relw"].append(tasks_win[t] - b * YBLOCK)
+                    state["relw"].append(tasks_win_a[t] - b * YBLOCK)
                 for _ in range(B_VREGS - (j - i)):
                     state["sid_rows"].append(pad_sid)
                     state["relw"].append(0)

@@ -95,6 +95,35 @@ def test_routed_ebe_matches_gather_pyramid(rng):
     np.testing.assert_allclose(d1, d0, rtol=2e-5)
 
 
+def test_routed_ebe_two_level_matches(rng):
+    """Forced two-level scatter == one-level scatter == gather pyramid."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.ops import element_matrices as em
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tet(6, 5, 4)
+    mesh = FEMMesh(V, T, degree=2, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    D = et.isotropic(3, 200.0, 0.3)
+    M = em.fused_matrix_for(D, 3, 2, jnp.float32)
+    Ke = em.element_elasticity_fused_apply(
+        jnp.asarray(gl, jnp.float32), jnp.asarray(vol, jnp.float32), M, 10)
+    r1 = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3,
+                         two_level=False)
+    r2 = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3,
+                         two_level=True)
+    assert r2.scatter2 is not None
+    u = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
+    y1 = np.asarray(r1(u))
+    y2 = np.asarray(r2(u))
+    scale = np.abs(y1).max()
+    np.testing.assert_allclose(y2 / scale, y1 / scale, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(r2.diagonal()),
+                               np.asarray(r1.diagonal()), rtol=2e-5)
+
+
 def test_routed_ebe_scalar_p1_tri(rng):
     """Scalar Laplace on P1 triangles exercises d == 1 and small nd."""
     from meshfem_tpu.mesh import FEMMesh, generators
