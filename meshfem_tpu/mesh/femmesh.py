@@ -220,11 +220,38 @@ class FEMMesh:
         return self._embed(jnp.asarray(node_positions))
 
     def _embed(self, X) -> ElementGeometry:
-        corners = X[self.F]                          # vertices only
+        # X is indexed by NODE id; element/boundary corner tables hold
+        # vertex ids, so map them through vertex_nodes (identity for the
+        # reference ordering, a permutation for morton/rcb/firsttouch).
+        corners = X[self.vertex_nodes[self.F]]       # vertices only
         grad_lambda, volume = geom.simplex_geometry(corners, self.K)
-        bcorners = X[self.bdry_elems]
+        bcorners = X[self.vertex_nodes[self.bdry_elems]]
         normal, bvol = geom.boundary_normals(bcorners)
         return ElementGeometry(grad_lambda, volume, normal, bvol)
+
+    # ------------------------------------------------------------------
+    def node_endpoint_vertices(self) -> np.ndarray:
+        """[N, 2] vertex ids (va, vb) whose midpoint is node i (va == vb
+        for vertex nodes) — the static map behind differentiable
+        re-embedding from vertex positions."""
+        nv = len(self.V)
+        ends_old = np.empty((self.num_nodes, 2), dtype=np.int64)
+        ends_old[:nv] = np.arange(nv)[:, None]
+        if self.num_nodes > nv:
+            ends_old[nv:, 0] = self._edge_keys // nv
+            ends_old[nv:, 1] = self._edge_keys % nv
+        ends = np.empty_like(ends_old)
+        ends[self.node_perm] = ends_old
+        return ends
+
+    def node_positions_from_vertices(self, Xv):
+        """Differentiable node positions [N, dim] from vertex positions
+        ``Xv`` [Nv, dim]: vertex nodes at Xv, P2 edge nodes at edge
+        midpoints (``FEMMesh::setNodePositions`` re-embedding,
+        ``FEMMesh.hh:222-237``)."""
+        ends = jnp.asarray(self.node_endpoint_vertices())
+        Xv = jnp.asarray(Xv)
+        return 0.5 * (Xv[ends[:, 0]] + Xv[ends[:, 1]])
 
     # ------------------------------------------------------------------
     def volume(self) -> float:

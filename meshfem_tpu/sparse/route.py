@@ -44,7 +44,7 @@ try:  # pallas import kept non-fatal for exotic builds
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-BUCKETS = (1, 2, 4, 8, 16, 24, 32, 48)   # chain depths (kernel variants)
+BUCKETS = (1, 2, 4, 8, 12, 16, 24, 32, 48)  # chain depths (kernel variants)
 _Z = np.int32(0)              # int32 literal for index maps: a bare 0
                               # becomes an i64 constant under x64,
                               # which Mosaic cannot legalize

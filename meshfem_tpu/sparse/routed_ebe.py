@@ -5,23 +5,35 @@ the in-register lane-routing kernels of :mod:`meshfem_tpu.sparse.route`
 instead of XLA's row gathers, and the element contraction laid out
 lane-major so no operand is ever relaid out on the hot path:
 
-  * routing runs per vector COMPONENT in **node space** — source windows
-    are 128 nodes, not 128 dofs, which cuts each route's window spread 3x
-    (the binding constraint: kernel cost is linear in chain depth), and
-    one routing plan serves all ``d`` components;
-  * gather slots live in ``[Eb, n, 128]`` order (Eb = ceil(E/128) element
-    blocks, n nodes per element, lane = element within block), so the
-    per-element stiffness contraction is a pure VPU multiply-reduce over
-    ``Ke`` stored ``[Eb, n*d, n*d, 128]`` — the element index rides the
-    128 vector lanes and every array is lane-aligned;
-  * the transpose scatter reads element-major slots (``[Ep * n]`` flat,
-    elements Morton-sorted), so one 128-node output window's sources are
-    the slots of its ~2-300 incident elements — a handful of source
-    windows — and sums them in a layered, lane-packed deterministic
-    reduction (fixed order, no scatter instruction).
+  * ALL vector components route in ONE plan per stage: source ids carry a
+    per-component plane offset (``c * N + node``), and slots are laid out
+    COMPONENT-OUTERMOST ``[d, Eb, n, 128]`` (Eb = ceil(E/128) element
+    blocks, lane = element within block) so the fused plan is d contiguous
+    copies of the per-component routing problem — same chain depths, one
+    pallas dispatch sequence per stage.  (A node-major-interleaved slot
+    order mixes the d source planes inside each vreg and triples gather
+    chains — measured 322k vs 182k chain-steps at 257k tets.  The
+    per-component variant costs ~3x the dispatches plus stack/transpose
+    glue between stages: stage sums 5.2 ms vs 9.8 ms full apply.)  The
+    contraction einsum absorbs the component-major row order via a
+    permuted ``Ke`` layout ``[Eb, n, d, n, d, 128]``;
+  * the per-element stiffness contraction is a pure VPU multiply-reduce
+    over ``Ke`` stored ``[Eb, nd, nd, 128]`` — the element index rides
+    the 128 vector lanes and every array is lane-aligned;
+  * the transpose scatter runs as a routed LADDER (``two_level``):
+    slots -> per-block compact ids -> per-8-block-group compact ids ->
+    global nodes, with OVERFLOW SPLITTING at each rung (every compact id
+    receives at most 8 contributions; the surplus spills into extra
+    densely-packed ids merged by the next rung).  Locality: a rung's
+    output window pulls only from its own block's / group's windows, so
+    chains stay small; the splitting keeps the reduce packer at ~1 task
+    rank per window (a single 25-valence node otherwise forces 3-4
+    mostly-empty task vregs on its whole window).  A one-stage reduce
+    routes every incident element block into each node window and
+    saturates the chain ladder (measured chain 48 everywhere).
 
 Requires a locality-preserving node numbering
-(``FEMMesh(..., node_order="morton")`` + Morton-sorted elements,
+(``FEMMesh(..., node_order="firsttouch")`` over spatially sorted elements,
 ``mesh.reorder.reorder_mesh``): chain depth tracks the windowed spread of
 each element block's node ids.
 
@@ -42,6 +54,87 @@ import jax.numpy as jnp
 from .route import plan_copy, plan_reduce, CopyPlan, ReducePlan
 
 
+def _split_compact(grp, node, cap, pad=128):
+    """Compact (grp, node) items with overflow splitting.
+
+    ``grp[i]``/``node[i]`` per input item; ``node < 0`` marks dead items
+    (padding slots — their dst stays -1).  Each live (grp, node) pair
+    receives ``ceil(count / cap)`` consecutive output ids with at most
+    ``cap`` items per id: the reduce packer builds one 8-slot chunk per
+    (window, lane), so no output window ever needs more than ~1 task rank
+    — without the split, a single high-valence node (e.g. 25 incident
+    elements in one block) forces ceil(25/8) mostly-empty task vregs on
+    its whole window.  Ids are ordered (grp, node, split) and every
+    group's id range is padded to a multiple of ``pad`` (= the routing
+    window width) so reduce output windows never mix groups.
+
+    Returns ``(dst [items], n_out, out_grp [n_out], out_node [n_out])``
+    with ``out_node == -1`` on padding ids."""
+    items = len(grp)
+    dst = np.full(items, -1, np.int64)
+    live = np.nonzero(node >= 0)[0]
+    if len(live) == 0:
+        return dst, 0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    BIG = np.int64(1) << 40
+    key = grp[live] * BIG + node[live]
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    gstart = np.nonzero(first)[0]
+    glen = np.diff(np.concatenate([gstart, [len(ks)]]))
+    occ = np.arange(len(ks)) - np.repeat(gstart, glen)
+    split = occ // cap
+    nsplit = -(-glen // cap)                   # ids per (grp, node) pair
+    pair_grp = (ks[gstart] // BIG).astype(np.int64)
+    pair_node = (ks[gstart] % BIG).astype(np.int64)
+    n_grp = int(pair_grp[-1]) + 1
+    ids_per_grp = np.bincount(pair_grp, weights=nsplit,
+                              minlength=n_grp).astype(np.int64)
+    padded = -(-ids_per_grp // pad) * pad
+    grp_off = np.concatenate([[0], np.cumsum(padded)])
+    unpadded_pre = np.concatenate([[0], np.cumsum(ids_per_grp)])
+    pair_start = np.cumsum(nsplit) - nsplit    # pair-major running ids
+    pair_base = grp_off[pair_grp] + (pair_start - unpadded_pre[pair_grp])
+    dst[live[order]] = np.repeat(pair_base, glen) + split
+    n_out = int(grp_off[-1])
+    out_grp = np.repeat(np.arange(n_grp, dtype=np.int64), padded)
+    out_node = np.full(n_out, -1, np.int64)
+    nid = (np.repeat(pair_base, nsplit)
+           + np.arange(int(nsplit.sum())) - np.repeat(pair_start, nsplit))
+    out_node[nid] = np.repeat(pair_node, nsplit)
+    return dst, n_out, out_grp, out_node
+
+
+def _scatter_ladder(ed, Eb, n, N, cap=8, group=8):
+    """Multi-stage scatter ladder for the transpose reduce:
+
+      slots (element-major ``[Ep, n]`` flat) -> level-1 per-block compact
+      ids -> level-2 per-``group``-block compact ids -> global nodes [N].
+
+    Each rung keeps its reduce LOCAL: a level-1 output window's sources
+    are only its own block's n slot windows (chain <= n); a level-2
+    window's sources are its ``group`` blocks' few compact windows; the
+    final rung sees each node only once per incident group.  Overflow
+    splitting (``_split_compact``) caps contributions per id at ``cap``
+    so task ranks stay ~1 everywhere.
+
+    Returns ``(dst0 [Ep * n], stages)`` with ``stages[0] = (None, n1)``
+    and ``stages[1:] = [(dst_map, n_out), ...]`` ending at ``N``."""
+    Ep = ed.shape[0]
+    flat = ed.reshape(-1)
+    slot_grp = np.repeat(np.arange(Ep, dtype=np.int64) // 128, n)
+    dst0, n1, grp1, node1 = _split_compact(slot_grp, flat, cap)
+    stages = [(None, n1)]
+    if Eb > group:
+        dst1, n2, _, node2 = _split_compact(grp1 // group, node1, cap)
+        stages.append((dst1, n2))
+        stages.append((node2, N))
+    else:
+        stages.append((node1, N))
+    return dst0, stages
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RoutedEBE:
@@ -51,10 +144,10 @@ class RoutedEBE:
     single-vector applies: u of shape [N] (d == 1) or [N, d].  f32 only —
     the routing kernels are f32; for f64 use EBEKernel."""
 
-    KeB: jnp.ndarray            # [Eb, nd, nd, 128] f32
-    gather: CopyPlan            # node plane [N] -> slots [Eb * n * 128]
-    scatter: ReducePlan         # element-major slots [Ep * n] -> partials
-    scatter2: ReducePlan | None  # block-compact partials -> [N]
+    KeB: jnp.ndarray            # [Eb, n, d, n, d, 128] f32
+    gather: CopyPlan            # component planes [d*N] -> slots [Eb*nd*128]
+    scatter: ReducePlan         # slots [Eb*nd*128] -> partials (or [d*N])
+    scatter_rest: tuple         # follow-up reduce stages down to [d*N]
     num_dofs: int               # nodes
     vector_dim: int
     interpret: bool
@@ -66,17 +159,8 @@ class RoutedEBE:
         """Ke: [E, nd, nd] (node-major dof order: a = node * d + comp);
         elem_dofs: [E, n] node ids; num_dofs = number of NODES.
 
-        ``two_level`` (default: on for E >= 4096): scatter in two routed
-        stages.  A one-stage reduce routes element-major slots straight to
-        node windows — each 128-node window pulls from the ~n slot-windows
-        of EVERY incident element block, so chains saturate the bucket
-        ladder (measured: all buckets at chain 48 on the 257k-tet bench).
-        Stage 1 instead pre-reduces each element block's slots onto its own
-        sorted unique nodes (sources = the block's own n slot-windows:
-        chain <= ~n, perfectly local); stage 2 reduces the block-compact
-        partials onto global nodes (each node appears in the few blocks
-        that touch it: chain ~ 2-4)."""
-        Ke = np.asarray(Ke, np.float32)
+        ``two_level`` (default: on for E >= 4096): see module docstring."""
+        Ke = jnp.asarray(Ke, jnp.float32)
         elem_dofs = np.asarray(elem_dofs)
         E, nd, _ = Ke.shape
         n = elem_dofs.shape[1]
@@ -84,6 +168,7 @@ class RoutedEBE:
         assert nd == n * d
         Eb = -(-E // 128)
         Ep = Eb * 128
+        N = num_dofs
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         if two_level is None:
@@ -91,79 +176,90 @@ class RoutedEBE:
 
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
-        # gather: slot (b, a, l) <- node ed[128 b + l, a]   [Eb, n, 128]
-        gsrc = ed.reshape(Eb, 128, n).transpose(0, 2, 1).reshape(-1)
-        gather = plan_copy(gsrc, num_dofs)
-        if two_level:
-            # stage 1: element-major slot e*n + a -> block-compact node id
-            # (block-major, node-sorted within block: stage-2 locality
-            # follows the node ordering)
-            flat = ed.reshape(-1)
-            blk_of_slot = (np.arange(Ep * n) // (128 * n)).astype(np.int64)
-            valid = flat >= 0
-            key = np.where(valid, blk_of_slot * np.int64(num_dofs) + flat,
-                           -1)
-            uniq, inv = np.unique(key[valid], return_inverse=True)
-            dst1 = np.full(Ep * n, -1, np.int64)
-            dst1[valid] = inv
-            scatter = plan_reduce(dst1, len(uniq), Ep * n)
-            scatter2 = plan_reduce(uniq % np.int64(num_dofs), num_dofs,
-                                   len(uniq))
-        else:
-            # scatter: element-major slot e * n + a -> node ed[e, a]
-            scatter = plan_reduce(ed.reshape(-1), num_dofs, Ep * n)
-            scatter2 = None
+        # [Eb, n, 128] node id of slot (b, a, l) = element 128 b + l, node a
+        ed_bal = ed.reshape(Eb, 128, n).transpose(0, 2, 1)
+        coff = np.arange(d, dtype=np.int64)
 
-        KeB = np.zeros((Ep, nd, nd), np.float32)
-        KeB[:E] = Ke
-        KeB = np.ascontiguousarray(
-            KeB.reshape(Eb, 128, nd, nd).transpose(0, 2, 3, 1))
-        return cls(jnp.asarray(KeB), gather, scatter, scatter2, num_dofs,
-                   d, interpret)
+        # gather: slot (c, b, a, l) <- component plane value c * N + node
+        gsrc = np.where(ed_bal[None] >= 0,
+                        ed_bal[None] + (coff * N)[:, None, None, None],
+                        np.int64(-1)).reshape(-1)
+        gather = plan_copy(gsrc, d * N)
+
+        if two_level:
+            # scatter ladder (see _scatter_ladder): slots -> overflow-split
+            # block-compact -> group-compact -> global nodes
+            dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
+            d0_bal = dst0_node.reshape(Eb, 128, n).transpose(0, 2, 1)
+            n1 = stages[0][1]
+            dst1 = np.where(d0_bal[None] >= 0,
+                            d0_bal[None] + (coff * n1)[:, None, None,
+                                                       None],
+                            np.int64(-1)).reshape(-1)
+            scatter = plan_reduce(dst1, d * n1, d * Eb * n * 128)
+            rest = []
+            n_prev = n1
+            for dst_map, n_out in stages[1:]:
+                dd = np.where(dst_map[None, :] >= 0,
+                              dst_map[None, :] + (coff * n_out)[:, None],
+                              np.int64(-1)).reshape(-1)
+                rest.append(plan_reduce(dd, d * n_out, d * n_prev))
+                n_prev = n_out
+            scatter_rest = tuple(rest)
+        else:
+            dst1 = np.where(ed_bal[None] >= 0,
+                            ed_bal[None] + (coff * N)[:, None, None, None],
+                            np.int64(-1)).reshape(-1)
+            scatter = plan_reduce(dst1, d * N, d * Eb * n * 128)
+            scatter_rest = ()
+
+        # lane-major relayout on DEVICE (a ~1 GB host-side transpose copy
+        # costs ~40 s at bench scale; the device does it in milliseconds),
+        # rows/cols split (node, comp) so the contraction reads
+        # component-major slots directly
+        if Ep != E:
+            Ke = jnp.concatenate(
+                [Ke, jnp.zeros((Ep - E, nd, nd), jnp.float32)])
+        KeB = jnp.transpose(Ke.reshape(Eb, 128, n, d, n, d),
+                            (0, 2, 3, 4, 5, 1))
+        return cls(KeB, gather, scatter, scatter_rest, num_dofs, d,
+                   interpret)
 
     def _contract(self, ue):
-        """[Eb, nd, 128] element values -> element forces (VPU only)."""
-        return jnp.sum(self.KeB * ue[:, None, :, :], axis=2)
+        """[d, Eb, n, 128] component-major element values -> forces
+        [d, Eb, n, 128] (VPU multiply-reduce; lanes = elements)."""
+        return jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
 
     def _scatter(self, fl):
         y = self.scatter(fl, interpret=self.interpret)
-        if self.scatter2 is not None:
-            y = self.scatter2(y, interpret=self.interpret)
+        for p in self.scatter_rest:
+            y = p(y, interpret=self.interpret)
         return y
 
     def __call__(self, u):
-        Eb, nd = self.KeB.shape[0], self.KeB.shape[1]
+        Eb, n = self.KeB.shape[0], self.KeB.shape[1]
         d = self.vector_dim
-        n = nd // d
         u = u.astype(jnp.float32)
+        src = u.reshape(self.num_dofs, d).T.reshape(-1)   # [d*N] planes
+        ue = self.gather(src, interpret=self.interpret) \
+            .reshape(d, Eb, n, 128)
+        fe = self._contract(ue)
+        y = self._scatter(fe.reshape(-1))                 # [d*N]
         if d == 1:
-            us = self.gather(u.reshape(-1), interpret=self.interpret)
-            ue = us.reshape(Eb, n, 128)
-            fe = self._contract(ue)
-            fl = fe.reshape(Eb, n, 128).transpose(0, 2, 1).reshape(-1)
-            return self._scatter(fl).reshape(u.shape)
-        comps = [self.gather(u[:, c], interpret=self.interpret)
-                 .reshape(Eb, n, 128) for c in range(d)]
-        ue = jnp.stack(comps, axis=2).reshape(Eb, nd, 128)
-        fe = self._contract(ue).reshape(Eb, n, d, 128)
-        ys = [self._scatter(fe[:, :, c, :].transpose(0, 2, 1).reshape(-1))
-              for c in range(d)]
-        return jnp.stack(ys, axis=1).reshape(u.shape)
+            return y.reshape(u.shape)
+        return y.reshape(d, self.num_dofs).T.reshape(u.shape)
 
     def diagonal(self):
         """Assembled operator diagonal (Jacobi), via the scatter plan."""
-        de = jnp.diagonal(self.KeB, axis1=1, axis2=2)     # [Eb, 128, nd]
         d = self.vector_dim
-        n = de.shape[2] // d
-        de = de.reshape(de.shape[0], 128, n, d)
-        ys = [self._scatter(de[:, :, :, c].reshape(-1)) for c in range(d)]
-        out = jnp.stack(ys, axis=1)
+        de = jnp.einsum("eacacl->eacl", self.KeB)     # [Eb, n, d, 128]
+        y = self._scatter(jnp.transpose(de, (2, 0, 1, 3)).reshape(-1))
         if d == 1:
-            return out.reshape(self.num_dofs)
-        return out.reshape(self.num_dofs, d)
+            return y.reshape(self.num_dofs)
+        return y.reshape(d, self.num_dofs).T
 
     def tree_flatten(self):
-        return ((self.KeB, self.gather, self.scatter, self.scatter2),
+        return ((self.KeB, self.gather, self.scatter, self.scatter_rest),
                 (self.num_dofs, self.vector_dim, self.interpret))
 
     @classmethod

@@ -114,7 +114,7 @@ def test_routed_ebe_two_level_matches(rng):
                          two_level=False)
     r2 = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3,
                          two_level=True)
-    assert r2.scatter2 is not None
+    assert len(r2.scatter_rest) >= 1
     u = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
     y1 = np.asarray(r1(u))
     y2 = np.asarray(r2(u))
@@ -142,6 +142,24 @@ def test_routed_ebe_scalar_p1_tri(rng):
     y0 = np.asarray(kern(u))
     y1 = np.asarray(rk(u))
     np.testing.assert_allclose(y1, y0, atol=np.abs(y0).max() * 1e-5)
+
+
+def test_geometry_invariant_under_node_order():
+    """geometry() must not depend on the node numbering (regression: _embed
+    indexed permuted node_positions with unpermuted vertex ids)."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+
+    V, T = generators.grid_tet(3, 3, 3)
+    ref = FEMMesh(V, T, degree=2)
+    g0 = ref.geometry()
+    for order in ("morton", "rcb", "firsttouch"):
+        g = FEMMesh(V, T, degree=2, node_order=order).geometry()
+        np.testing.assert_allclose(np.asarray(g.volume),
+                                   np.asarray(g0.volume), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g.grad_lambda),
+                                   np.asarray(g0.grad_lambda), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g.bdry_volume),
+                                   np.asarray(g0.bdry_volume), rtol=1e-12)
 
 
 def test_morton_node_order_consistency():
