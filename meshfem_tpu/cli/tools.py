@@ -91,6 +91,13 @@ def main(argv=None):
     bd.add_argument("bc")
     bd.add_argument("-o", "--output", required=True)
 
+    ib = sub.add_parser("import_bo_geometry",
+                        help="Bo Zhu ascii voxel format ('#slices #rows "
+                             "#cols' header + 0/1 grid) -> tet mesh "
+                             "(tools/import_bo_geometry.cc)")
+    ib.add_argument("input")
+    ib.add_argument("output")
+
     iv = sub.add_parser("import_voxels_raw",
                         help="raw uint8 voxel file -> tet mesh "
                              "(tools/import_voxels_raw.cc)")
@@ -270,6 +277,21 @@ def main(argv=None):
         data = np.fromfile(args.raw, dtype=np.uint8)
         occ = (data.reshape(args.nx, args.ny, args.nz)
                >= args.threshold)
+        V, T = filters.voxels_to_simplices(occ)
+        meshio.save(args.output, V, T)
+    elif args.cmd == "import_bo_geometry":
+        from ..mesh import filters
+
+        tokens = open(args.input).read().split()
+        ns, nr, nc = (int(t) for t in tokens[:3])
+        if len(tokens) != 3 + ns * nr * nc:
+            raise SystemExit(
+                f"expected {ns * nr * nc} voxel values, "
+                f"got {len(tokens) - 3}")
+        vals = np.asarray(tokens[3:], dtype=np.int64)
+        # indicator[s][r][c]; the reference's gen_grid(ncols, nrows,
+        # nslices) voxel (c, r, s) -> occupancy[x, y, z]
+        occ = (vals.reshape(ns, nr, nc) != 0).transpose(2, 1, 0)
         V, T = filters.voxels_to_simplices(occ)
         meshio.save(args.output, V, T)
     elif args.cmd == "gen_bar_with_shell":

@@ -10,9 +10,20 @@ Morton curve and exchanges only HALO values:
   boundaries so every owned row is complete locally), halo send/recv
   routing tables padded to uniform shapes;
 * device SpMV (inside ``shard_map``): one ``lax.all_to_all`` moving only
-  halo rows (O(halo) = O((Nd/S)^(2/3)) per pair, not O(Nd)), then a purely
-  local gather -> batched einsum -> segment_sum;
-* CG scalars (dot products) are the only ``psum``s.
+  halo rows (O(halo) = O((Nd/S)^(2/3)) per pair, not O(Nd)).  Each
+  shard's elements are SPLIT into an interior set (all nodes owned) and a
+  boundary set (touches halo): the interior gather->einsum->segment_sum
+  has no data dependence on the collective, so XLA's latency-hiding
+  scheduler overlaps the all_to_all with the bulk of the local compute;
+  only the boundary elements wait for the received halo rows;
+* CG scalars (dot products) are the only ``psum``s;
+* preconditioning: point Jacobi or exact per-node d x d block Jacobi
+  (``precond='block'``), blocks assembled at build time;
+* stopping: fixed iteration count (bit-identical to the single-device
+  loop — partition invariance) or ``tol``-based with the loop dispatched
+  in chunks and a host-side convergence + stagnation check between
+  chunks (single multi-minute dispatches get relayed workers killed; see
+  solvers/cg.py).
 
 The replicated path (``parallel.sharded``) remains the small-problem
 fallback.  Reference analog: TBB thread-local assembly
@@ -22,6 +33,7 @@ fallback.  Reference analog: TBB thread-local assembly
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -48,11 +60,14 @@ class DomainDecomposition:
     K: int                 # exchange slots per (src, dst) pair (padded)
     d: int
     perm: np.ndarray       # old dof id -> new (morton) id
-    Ke_s: jnp.ndarray      # [S, Es, nd, nd]
-    ldofs_s: jnp.ndarray   # [S, Es, n] -> local rows in [0, Nl + H)
+    Ke_int: jnp.ndarray    # [S, Ei, nd, nd] interior elements
+    ld_int: jnp.ndarray    # [S, Ei, n] local OWNED rows in [0, Nl)
+    Ke_bnd: jnp.ndarray    # [S, Eb, nd, nd] halo-touching elements
+    ld_bnd: jnp.ndarray    # [S, Eb, n] local rows in [0, Nl + H)
     send_idx: jnp.ndarray  # [S, S, K] local OWNED rows to ship to each dst
     halo_take: jnp.ndarray  # [S, H] rows into the [S*K] recv buffer
     diag_s: jnp.ndarray    # [S, Nl, d] owned operator diagonal
+    blocks_s: jnp.ndarray  # [S, Nl, d, d] per-node diagonal blocks
     halo_counts: np.ndarray  # [S, S] true (unpadded) pairwise traffic
 
     # -- host build -------------------------------------------------------
@@ -88,7 +103,6 @@ class DomainDecomposition:
             for src in np.unique(src_of):
                 halo_by_pair[(int(src), s)] = halo[src_of == src]
 
-        Es = max(len(e) for e in shard_elems)
         H = max((len(h) for h in shard_halo), default=1)
         H = max(H, 1)
         counts = np.zeros((S, S), dtype=np.int64)
@@ -96,18 +110,21 @@ class DomainDecomposition:
             counts[src, dst] = len(rows)
         K = max(int(counts.max()), 1)
 
-        Ke_s = np.zeros((S, Es, nd, nd), Ke.dtype)
-        ldofs_s = np.zeros((S, Es, n), np.int32)
         send_idx = np.zeros((S, S, K), np.int32)
         halo_take = np.zeros((S, H), np.int32)
         diag_s = np.zeros((S, Nl, d), Ke.dtype)
+        blocks_s = np.zeros((S, Nl, d, d), Ke.dtype)
 
-        # permuted global diagonal (f64 host accumulation)
+        # permuted global diagonal + node blocks (f64 host accumulation)
         diag_full = np.zeros((S * Nl, d))
         de = np.einsum("eii->ei", Ke).reshape(E, n, d)
-        np.add.at(diag_full, new_ed.reshape(-1),
-                  de.reshape(E * n, d))
+        np.add.at(diag_full, new_ed.reshape(-1), de.reshape(E * n, d))
+        blocks_full = np.zeros((S * Nl, d, d))
+        Kblk = np.einsum("eaiaj->eaij", Ke.reshape(E, n, d, n, d))
+        np.add.at(blocks_full, new_ed.reshape(-1),
+                  Kblk.reshape(E * n, d, d))
 
+        per_shard = []
         for s in range(S):
             elems, halo = shard_elems[s], shard_halo[s]
             lo = s * Nl
@@ -119,9 +136,10 @@ class DomainDecomposition:
             if is_halo.any():
                 flat = ed[is_halo]
                 loc[is_halo] = np.asarray([halo_pos[int(x)] for x in flat])
-            Ke_s[s, :len(elems)] = Ke[elems]
-            ldofs_s[s, :len(elems)] = loc
+            bnd = is_halo.any(axis=1)
+            per_shard.append((elems[~bnd], loc[~bnd], elems[bnd], loc[bnd]))
             diag_s[s] = diag_full[lo:lo + Nl]
+            blocks_s[s] = blocks_full[lo:lo + Nl]
             # halo slots grouped by source shard in ascending dof order:
             # recv buffer row for (src, k) is src * K + k.
             srcs = halo // Nl
@@ -133,10 +151,23 @@ class DomainDecomposition:
                 send_idx[src, s, :len(rows)] = rows - src * Nl
             halo_take[s, :len(halo)] = take[:len(halo)]
 
+        Ei = max(len(p[0]) for p in per_shard)
+        Eb = max(max(len(p[2]) for p in per_shard), 1)
+        Ke_int = np.zeros((S, Ei, nd, nd), Ke.dtype)
+        ld_int = np.zeros((S, Ei, n), np.int32)
+        Ke_bnd = np.zeros((S, Eb, nd, nd), Ke.dtype)
+        ld_bnd = np.zeros((S, Eb, n), np.int32)
+        for s, (ei, li, eb, lb) in enumerate(per_shard):
+            Ke_int[s, :len(ei)] = Ke[ei]
+            ld_int[s, :len(ei)] = li
+            Ke_bnd[s, :len(eb)] = Ke[eb]
+            ld_bnd[s, :len(eb)] = lb
+
         return cls(S, num_dofs, Nl, H, K, d, perm,
-                   jnp.asarray(Ke_s), jnp.asarray(ldofs_s),
+                   jnp.asarray(Ke_int), jnp.asarray(ld_int),
+                   jnp.asarray(Ke_bnd), jnp.asarray(ld_bnd),
                    jnp.asarray(send_idx), jnp.asarray(halo_take),
-                   jnp.asarray(diag_s), counts)
+                   jnp.asarray(diag_s), jnp.asarray(blocks_s), counts)
 
     @classmethod
     def from_simulator(cls, sim, n_shards: int) -> "DomainDecomposition":
@@ -164,19 +195,99 @@ class DomainDecomposition:
         return int(self.halo_counts.sum()) * self.d
 
 
+@functools.lru_cache(maxsize=32)
+def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block, L):
+    """Jitted shard_map running L CG iterations on carried state."""
+    bspec = P(axis, None, None, rhs_axis)
+    gspec = P(rhs_axis)
+
+    def local(Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free,
+              x, r, z, p, gamma):
+        Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free, x, r, z, p \
+            = (q[0] for q in (Ke_i, ld_i, Ke_b, ld_b, send, take, Minv,
+                              safe, free, x, r, z, p))
+        mloc = x.shape[-1]
+        Ei, Eb = Ke_i.shape[0], Ke_b.shape[0]
+
+        def spmv(u):                      # u [Nl, d, mloc] owned
+            out_send = u[send.reshape(-1)].reshape(S, K, d, mloc)
+            recv = jax.lax.all_to_all(out_send, axis, split_axis=0,
+                                      concat_axis=0).reshape(S * K, d,
+                                                             mloc)
+            # interior elements: independent of the collective above —
+            # XLA overlaps this compute with the all_to_all in flight
+            ue_i = u[ld_i].reshape(Ei, n * d, mloc)
+            fe_i = jnp.einsum("eij,ejm->eim", Ke_i, ue_i)
+            acc = jax.ops.segment_sum(
+                fe_i.reshape(Ei * n, d * mloc),
+                ld_i.reshape(-1), num_segments=Nl).reshape(Nl, d, mloc)
+            # boundary elements wait for the received halo rows
+            x_loc = jnp.concatenate([u, recv[take]])     # [Nl + H, d, m]
+            ue_b = x_loc[ld_b].reshape(Eb, n * d, mloc)
+            fe_b = jnp.einsum("eij,ejm->eim", Ke_b, ue_b)
+            acc_b = jax.ops.segment_sum(
+                fe_b.reshape(Eb * n, d * mloc),
+                ld_b.reshape(-1), num_segments=Nl + H)
+            return acc + acc_b[:Nl].reshape(Nl, d, mloc)
+
+        def dot(a, c):                    # per-column, psum over domain
+            return jax.lax.psum(jnp.sum(a * c, axis=(0, 1)), axis)
+
+        fm = free[..., None]
+        proj = lambda v: v * fm
+        if use_block:
+            M_apply = lambda v: proj(
+                jnp.einsum("nab,nbm->nam", Minv, v))
+        else:
+            M_apply = lambda v: proj(v / safe[..., None])
+
+        def body(state, _):
+            x, r, z, p, gamma = state
+            Ap = proj(spmv(p))
+            den = dot(p, Ap)
+            alpha = jnp.where((den != 0) & (gamma != 0),
+                              gamma / jnp.where(den != 0, den, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M_apply(r)
+            gamma_new = dot(r, z)
+            beta = jnp.where(gamma != 0,
+                             gamma_new / jnp.where(gamma != 0, gamma, 1.0),
+                             0.0)
+            p = z + beta * p
+            return (x, r, z, p, gamma_new), None
+
+        (x, r, z, p, gamma), _ = jax.lax.scan(
+            body, (x, r, z, p, gamma), None, length=L)
+        return x[None], r[None], z[None], p[None], gamma, dot(r, r)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis),) * 9 + (bspec,) * 4 + (gspec,),
+                   out_specs=(bspec,) * 4 + (gspec, gspec))
+    return jax.jit(fn)
+
+
 def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
-                iters: int = 50, axis: str = "e", rhs_axis: str | None = None):
-    """Domain-decomposed block Jacobi-PCG over ``mesh`` axis ``axis``.
+                iters: int = 50, axis: str = "e",
+                rhs_axis: str | None = None, tol: float | None = None,
+                precond: str = "jacobi", chunk: int | None = None):
+    """Domain-decomposed PCG over ``mesh`` axis ``axis``.
 
     b [Nd, d] or [Nd, d, m] (original dof order); returns
-    (u matching b's shape, resnorm2 [m]).  The whole CG loop runs inside
-    ONE jitted shard_map: per iteration, one all_to_all of halo rows over
-    the domain axis + two scalar-block psums.  With ``rhs_axis`` given,
-    independent RHS columns are additionally sharded over that mesh axis
-    (homogenization cell problems / eigensolver blocks)."""
+    (u matching b's shape, resnorm2 [m] = final squared residual norms).
+    With ``rhs_axis`` given, independent RHS columns are additionally
+    sharded over that mesh axis (homogenization cell problems).
+
+    ``precond``: 'jacobi' (point) or 'block' (exact per-node d x d
+    blocks, assembled at build).  ``tol``: relative residual target —
+    when given, the loop runs in ``chunk``-iteration dispatches with a
+    host-side convergence/stagnation check between chunks (breakdown
+    guards run per-iteration on device); when None, exactly ``iters``
+    iterations run in one dispatch (bit-deterministic for the partition
+    invariance tests)."""
     S, Nl, H, K, d = dd.n_shards, dd.Nl, dd.H, dd.K, dd.d
-    n = dd.ldofs_s.shape[2]
-    dt = dd.Ke_s.dtype
+    n = dd.ld_int.shape[2]
+    dt = dd.Ke_int.dtype
 
     single = np.asarray(b).ndim == 2
     b = np.asarray(b, dt)
@@ -196,67 +307,61 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
         free = np.asarray(free_mask, np.float64).reshape(dd.num_dofs, d)
     fs = dd.to_sharded(free.astype(dt))
 
+    use_block = precond == "block"
+    if use_block:
+        from ..solvers import precond as pc
+
+        Minv = pc.block_jacobi_inv(
+            dd.blocks_s.reshape(S * Nl, d, d),
+            fs.reshape(S * Nl, d)).reshape(S, Nl, d, d).astype(dt)
+    else:
+        Minv = jnp.zeros((S, 1, d, d), dt)   # unused placeholder
+    safe = jnp.where(dd.diag_s > 0, dd.diag_s, 1.0).astype(dt)
+
     eP = NamedSharding(mesh, P(axis))
     bspec = P(axis, None, None, rhs_axis)
-    args = [jax.device_put(x, eP) for x in
-            (dd.Ke_s, dd.ldofs_s, dd.send_idx, dd.halo_take, dd.diag_s, fs)]
-    bs = jax.device_put(bs, NamedSharding(mesh, bspec))
+    bP = NamedSharding(mesh, bspec)
+    gP = NamedSharding(mesh, P(rhs_axis))
+    ops = [jax.device_put(x, eP) for x in
+           (dd.Ke_int, dd.ld_int, dd.Ke_bnd, dd.ld_bnd, dd.send_idx,
+            dd.halo_take, Minv, safe, fs)]
+    bs = jax.device_put(bs, bP)
 
-    def local(Ke, ldofs, send, take, diag, free, b):
-        # shard_map blocks keep a leading dim of 1 on the domain axis
-        Ke, ldofs, send, take, diag, free, b = (
-            x[0] for x in (Ke, ldofs, send, take, diag, free, b))
-        Es = Ke.shape[0]
-        mloc = b.shape[-1]
+    # initial state (global sharded ops — GSPMD handles the reduction)
+    fm = ops[8][..., None]
+    r0 = bs * fm
+    if use_block:
+        z0 = jnp.einsum("snab,snbm->snam", ops[6].astype(dt), r0) * fm
+    else:
+        z0 = r0 / ops[7][..., None] * fm
+    x0 = jnp.zeros_like(r0)
+    gamma0 = jnp.sum(r0 * z0, axis=(0, 1, 2))
+    state = (x0, r0, z0, z0, gamma0)
+    b2 = np.maximum(np.asarray(jnp.sum(r0 * r0, axis=(0, 1, 2))), 1e-300)
 
-        def spmv(u):                      # u [Nl, d, mloc] owned
-            out_send = u[send.reshape(-1)].reshape(S, K, d, mloc)
-            recv = jax.lax.all_to_all(out_send, axis, split_axis=0,
-                                      concat_axis=0).reshape(S * K, d, mloc)
-            x_loc = jnp.concatenate([u, recv[take]])     # [Nl + H, d, m]
-            ue = x_loc[ldofs].reshape(Es, n * d, mloc)
-            fe = jnp.einsum("eij,ejm->eim", Ke, ue)
-            out = jax.ops.segment_sum(
-                fe.reshape(Es, n, d, mloc).reshape(Es * n, d * mloc),
-                ldofs.reshape(-1), num_segments=Nl + H)
-            return out[:Nl].reshape(Nl, d, mloc)
+    if tol is None:
+        steps = [iters]
+    else:
+        c = chunk or min(256, max(iters, 1))
+        steps = [min(c, iters - k) for k in range(0, iters, c)]
 
-        def dot(a, c):                    # per-column, psum over domain
-            return jax.lax.psum(jnp.sum(a * c, axis=(0, 1)), axis)
+    res2 = np.zeros(b.shape[-1])
+    prev = np.inf
+    for L in steps:
+        fn = _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n,
+                          use_block, L)
+        *state, g, r2 = fn(*ops, *state)
+        state = tuple(state) + (g,)
+        res2 = np.asarray(r2)
+        if tol is not None:
+            rel2 = float((res2 / b2).max())
+            if rel2 <= tol * tol or rel2 >= prev * 0.9999:
+                break
+            prev = rel2
 
-        safe = jnp.where(diag > 0, diag, 1.0).astype(dt)[..., None]
-        fm = free[..., None]
-        proj = lambda v: v * fm
-
-        b0 = proj(b)
-        x = jnp.zeros_like(b0)
-        r = b0
-        z = proj(r / safe)
-        gamma = dot(r, z)
-
-        def body(state, _):
-            x, r, z, p, gamma = state
-            Ap = proj(spmv(p))
-            den = dot(p, Ap)
-            alpha = gamma / jnp.where(den != 0, den, 1.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = proj(r / safe)
-            gamma_new = dot(r, z)
-            beta = gamma_new / jnp.where(gamma != 0, gamma, 1.0)
-            p = z + beta * p
-            return (x, r, z, p, gamma_new), None
-
-        (x, r, *_), _ = jax.lax.scan(body, (x, r, z, z, gamma), None,
-                                     length=iters)
-        return x[None], dot(r, r)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis),) * 6 + (bspec,),
-                   out_specs=(bspec, P(rhs_axis)))
-    us, res2 = jax.jit(fn)(*args, bs)
+    us = state[0]
     u = dd.from_sharded(us)[..., :m]
-    res2 = res2[:m]
+    res2 = jnp.asarray(res2[:m])
     if single:
         return u[..., 0], res2[0]
     return u, res2

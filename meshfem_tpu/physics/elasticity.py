@@ -87,6 +87,7 @@ class ElasticitySimulator:
 
         self._kernel = EBEKernel.build(self.Ke, self.elem_dofs,
                                        self.num_dofs, self.dim)
+        self._routed = None           # built lazily (routed_kernel)
 
         # Boundary condition state.
         d = self.dim
@@ -106,6 +107,30 @@ class ElasticitySimulator:
 
     def K_diagonal(self):
         return self._kernel.diagonal()
+
+    def routed_kernel(self):
+        """The in-register routed SpMV operator (f32, internally RCB /
+        first-touch reordered; ``sparse.routed_ebe``).  Built lazily —
+        the host routing compile is seconds-to-tens-of-seconds at 10^5+
+        elements and cached by connectivity."""
+        if self._routed is None:
+            from ..sparse.routed_ebe import RoutedEBE
+
+            # dof coordinates: position of (a) node carrying each dof
+            pos = np.zeros((self.num_dofs, self.mesh.node_positions.shape[1]))
+            pos[self.dof_map] = np.asarray(self.mesh.node_positions)
+            self._routed = RoutedEBE.build(
+                self.Ke, np.asarray(self.elem_dofs), self.num_dofs,
+                self.dim, coords=pos)
+        return self._routed
+
+    def _routed_auto(self) -> bool:
+        import os
+
+        if jax.default_backend() != "tpu":
+            return False
+        return self.mesh.num_elements >= int(
+            os.environ.get("MESHFEM_ROUTED_MIN_E", "16384"))
 
     def to_scipy(self):
         return assembly.assemble_scipy(np.asarray(self.Ke),
@@ -297,7 +322,7 @@ class ElasticitySimulator:
     # ------------------------------------------------------------------
     def solve(self, extra_load=None, tol: float = 1e-12,
               maxiter: int = 50000, x0=None, precond: str = "jacobi",
-              chebyshev_degree: int = 6):
+              chebyshev_degree: int = 6, operator: str = "auto"):
         """Returns (u [N, dim] nodal displacements, CGResult).
 
         ``precond``: 'jacobi' (pointwise) | 'block' (exact d x d node
@@ -305,7 +330,15 @@ class ElasticitySimulator:
         preconditioned operator — the high-contrast workhorse; see
         solvers/precond.py).  The solve runs in reduced DOF space; the
         result is expanded through the dof map (``dofToNodeField``,
-        ``LinearElasticity.hh:665``)."""
+        ``LinearElasticity.hh:665``).
+
+        ``operator``: 'auto' picks the routed in-register SpMV
+        (``routed_kernel``) on TPU for meshes past ~16k elements and the
+        gather-pyramid EBE otherwise; 'routed' / 'ebe' force a path.  The
+        routed operator is f32 — tolerances tighter than ~1e-5 run f32
+        inner CG inside f64 iterative refinement (``solvers/refine``),
+        which replaces the reference's all-f64 CHOLMOD solve at a
+        fraction of the per-iteration cost."""
         d = self.dim
         b = self.neumann_load
         if extra_load is not None:
@@ -314,6 +347,12 @@ class ElasticitySimulator:
         fixed = jnp.asarray(self.dirichlet_mask)
         vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
         free = ~fixed
+
+        if (operator == "routed"
+                or (operator == "auto" and x0 is None
+                    and self._routed_auto())):
+            return self._solve_routed(b, fixed, vals, tol, maxiter,
+                                      precond, chebyshev_degree)
 
         if not self.no_rigid_motion and x0 is None and precond == "jacobi":
             # Fast path: fully jitted solve; operator arrays enter as
@@ -362,6 +401,98 @@ class ElasticitySimulator:
         u_dof = res.x + u_d
         u = u_dof[jnp.asarray(self.dof_map)]
         return u, res
+
+    def _solve_routed(self, b, fixed, vals, tol, maxiter, precond,
+                      chebyshev_degree):
+        """Routed-SpMV solve: f32 in-register CG (``sparse.routed_ebe``),
+        wrapped in f64 iterative refinement (``solvers/refine``) when the
+        requested tolerance is beyond f32 reach.  Replaces the role of the
+        reference's f64 CHOLMOD factorize+solve
+        (``SparseMatrices.hh:1984-2296``) for large general meshes."""
+        from ..solvers import refine as refine_mod
+        from ..solvers import precond as pc
+
+        rk = self.routed_kernel()
+        d = self.dim
+        f32 = jnp.float32
+        free = ~fixed
+        free_i = rk.permute_in(jnp.asarray(free.astype(f32)))
+        diag_i = rk.diagonal()
+
+        # preconditioner + projectors in the operator's INTERNAL ordering
+        if precond == "jacobi":
+            safe = jnp.where(diag_i > 0, diag_i, 1.0)
+            M_inv = lambda r: r / safe
+        else:
+            blocks = pc.node_block_diagonal(
+                jnp.asarray(self.Ke, f32), self.elem_dofs, self.num_dofs,
+                d)
+            if rk.order is not None:
+                blocks = blocks[rk.order]
+            M_inv = pc.block_jacobi_apply(
+                pc.block_jacobi_inv(blocks, free_i))
+        projs = [cg_mod.mask_projector(free_i)]
+        proj_rm_user = None
+        if self.no_rigid_motion:
+            Z = jnp.asarray(self.rigid_modes())
+            proj_rm_user = cg_mod.nullspace_projector(Z)
+            Zr = Z.reshape(self.num_dofs, d, -1).astype(f32)
+            if rk.order is not None:
+                Zr = Zr[rk.order]
+            proj_rm = cg_mod.nullspace_projector(
+                Zr.reshape(self.num_dofs * d, -1))
+            projs.append(
+                lambda v: proj_rm(v.reshape(-1)).reshape(v.shape))
+
+        def project(v):
+            for p in projs:
+                v = p(v)
+            return v
+
+        if precond == "chebyshev":
+            Ap = lambda v: project(rk(v))
+            M0 = M_inv
+            Mp = lambda r: project(M0(r))
+            lmax = pc.estimate_lambda_max(Ap, Mp, (self.num_dofs, d),
+                                          dtype=f32)
+            M_inv = pc.chebyshev_preconditioner(
+                Ap, M0, lmax, degree=chebyshev_degree, project=project)
+
+        u_d = jnp.where(fixed, vals, 0.0)
+        if b.dtype != jnp.float64 or tol >= 1e-5:
+            # pure f32 solve (CG in internal order, one permute each way)
+            b_i = rk.permute_in(jnp.asarray(b, f32))
+            ud_i = rk.permute_in(jnp.asarray(u_d, f32))
+            rhs = project(b_i - rk(ud_i))
+            res = cg_mod.cg(rk, rhs, M_inv=M_inv, project=project,
+                            tol=tol, maxiter=maxiter)
+            x = rk.permute_out(res.x + ud_i).astype(b.dtype)
+            u = x[jnp.asarray(self.dof_map)]
+            return u, cg_mod.CGResult(x, res.iters, res.resnorm)
+
+        # f64 residuals (gather-pyramid EBE apply), f32 routed corrections
+        free64 = free.astype(jnp.float64)
+
+        def proj_hi(v):
+            v = v * free64
+            if proj_rm_user is not None:
+                v = proj_rm_user(v.reshape(-1)).reshape(v.shape)
+            return v
+
+        apply_hi = lambda x: proj_hi(self.apply_K(x))
+        rhs64 = proj_hi(jnp.asarray(b, jnp.float64)
+                        - self.apply_K(jnp.asarray(u_d, jnp.float64)))
+
+        def solve_lo(r32):
+            r_i = project(rk.permute_in(r32))
+            res = cg_mod.cg(rk, r_i, M_inv=M_inv, project=project,
+                            tol=1e-4, maxiter=maxiter)
+            return rk.permute_out(res.x), res.iters
+
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+        u_dof = ref.x + jnp.asarray(u_d, jnp.float64)
+        u = u_dof[jnp.asarray(self.dof_map)]
+        return u, cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm)
 
     # ------------------------------------------------------------------
     # Loads for homogenization (LinearElasticity.hh:135-162, 552)

@@ -144,3 +144,56 @@ def newton_from_energy(energy_fn, x0, **kw):
                             lower=kw.pop("lower", None),
                             upper=kw.pop("upper", None))
     return newton_optimize(problem, x0, **kw)
+
+
+def dense_newton(energy_fn, x0, *, max_iter: int = 100,
+                 grad_tol: float = 1e-14, verbose: bool = False):
+    """Dense Newton for small problems with eigendecomposition-based
+    Hessian regularization (reference ``newton_optimizer/dense_newton.hh``):
+    negative eigenvalues are FLIPPED (not clamped), near-zero ones
+    pseudo-inverted away, followed by Armijo backtracking (c1 = 1e-4,
+    15 halvings) with the reference's accuracy-floor acceptance.
+
+    energy_fn: scalar jax-differentiable energy of a flat [n] vector.
+    Returns (x, ConvergenceReport)."""
+    x = jnp.asarray(x0, jnp.float64).reshape(-1)
+    grad = jax.grad(energy_fn)
+    hess = jax.hessian(energy_fn)
+    report = ConvergenceReport([], [], [], [])
+    indefinite = False
+    for it in range(max_iter + 1):
+        g = jnp.asarray(grad(x))
+        lam, Q = jnp.linalg.eigh(jnp.asarray(hess(x)))
+        indefinite = bool((lam < 0).any())
+        lam = jnp.abs(lam)                         # flip negatives
+        lam_inv = jnp.where(lam > 1e-10, 1.0 / jnp.where(lam > 1e-10,
+                                                         lam, 1.0), lam)
+        gnorm = float(jnp.linalg.norm(g))
+        e0 = float(energy_fn(x))
+        report.energy.append(e0)
+        report.grad_norm.append(gnorm)
+        report.iterations = it
+        if verbose:
+            print(f"{it}\t{e0:.17g}\t{gnorm:.3e}\t{int(indefinite)}")
+        if not indefinite and gnorm < grad_tol:
+            report.converged = True
+            break
+        step = Q @ (lam_inv * (Q.T @ (-g)))
+        dd = float(jnp.dot(g, step))
+        alpha, accepted = 1.0, False
+        for _ in range(15):
+            e1 = float(energy_fn(x + alpha * step))
+            sufficient = -1e-4 * alpha * dd
+            decrease = e0 - e1
+            if (decrease >= sufficient
+                    or (abs(sufficient) < 1e-10 * abs(e0)
+                        and decrease > -1e-16 * abs(e0))):
+                accepted = True
+                break
+            alpha *= 0.5
+        if not accepted:
+            break                                  # backtracking failed
+        x = x + alpha * step
+        report.step_norm.append(float(alpha * jnp.linalg.norm(step)))
+        report.tau.append(0.0)
+    return x, report

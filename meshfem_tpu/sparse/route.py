@@ -392,12 +392,17 @@ def plan_copy(src_ids, n_src: int, blk_rows: int = 8448) -> CopyPlan:
     vmin = win_of.reshape(NV, -1).min(axis=1)
     vmin = np.where(vmin == np.iinfo(np.int64).max, 0, vmin)
     vblk = vmin // blk_rows
-    # provisional chains (own block) for bucketing
-    prov = np.empty(NV, np.int64)
-    for v in range(NV):
-        w = win_of[v][sid[v] >= 0]
-        inb = w[(w >= vblk[v] * blk_rows) & (w < (vblk[v] + 1) * blk_rows)]
-        prov[v] = max(len(np.unique(inb)), 1)
+    # provisional chains (own block) for bucketing — one global
+    # sort-unique over (vreg, window) pairs instead of a per-vreg loop
+    wf = win_of.reshape(NV, 1024)
+    lo = (vblk * blk_rows)[:, None]
+    inb = (sid.reshape(NV, 1024) >= 0) & (wf >= lo) & (wf < lo + blk_rows)
+    vv = np.broadcast_to(np.arange(NV, dtype=np.int64)[:, None],
+                         (NV, 1024))
+    BIGW = np.int64(1) << 40
+    uniq_vw = np.unique(vv[inb] * BIGW + wf[inb])
+    prov = np.maximum(
+        np.bincount((uniq_vw // BIGW).astype(np.int64), minlength=NV), 1)
     bucket_of = np.array([_chain_bucket(c) for c in prov])
     order = np.lexsort((np.arange(NV), vblk, bucket_of))
     # steps: consecutive groups of B_VREGS within a bucket share a block
@@ -563,6 +568,11 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
     block_rank = np.empty(NBL, np.int64)
     block_rank[blocks_order] = np.arange(NBL)
     task_order = np.lexsort((tasks_win_a, block_rank[task_block]))
+    # tasks of one block are contiguous in task_order (block_rank is the
+    # primary sort key): O(1) per-block slices instead of O(n_tasks) scans
+    tb_sorted = block_rank[task_block[task_order]]
+    blk_task_lo = np.searchsorted(tb_sorted, np.arange(NBL))
+    blk_task_hi = np.searchsorted(tb_sorted, np.arange(NBL) + 1)
 
     buckets = []
     block_pos = np.full(NBL, -1, np.int64)
@@ -573,17 +583,23 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
         # blocks with no tasks at all land in bucket 0 via blk_bucket == 0;
         # drop empty ones (no tasks -> stay -1 -> zeros)
         bsel = [b for b in bsel
-                if np.any(task_block[task_order] == b)] if len(bsel) else []
+                if blk_task_hi[block_rank[b]] > blk_task_lo[block_rank[b]]]
         if len(bsel) == 0:
             continue
-        pad_sid = np.full((8, 128), -1, np.int64)
         state = dict(sid_rows=[], relw=[], stepblk=[], init=[], obk=[],
                      gblocks=[])
 
         def _flush():
             if not state["gblocks"]:
                 return
-            sid_b = np.stack(state["sid_rows"])
+            # sid_rows holds TASK INDICES (-1 = pad row); gather the
+            # [NV, 8, 128] slab in one fancy-index instead of stacking
+            # hundreds of thousands of tiny arrays
+            tidx = np.asarray(state["sid_rows"], np.int64)
+            sid_b = np.empty((len(tidx), 8, 128), np.int64)
+            real = tidx >= 0
+            sid_b[real] = tasks_sid[tidx[real]]
+            sid_b[~real] = -1
             stepblk = np.asarray(state["stepblk"], np.int64)
             win_l, pidx, (sp_p, sp_s) = _emit_tables(
                 sid_b, np.repeat(stepblk, B_VREGS), ch, blk_rows)
@@ -609,7 +625,8 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
 
         max_win_entries = _SMEM_BUDGET // 4
         for b in bsel:
-            tsel = task_order[task_block[task_order] == b]
+            tsel = task_order[blk_task_lo[block_rank[b]]:
+                              blk_task_hi[block_rank[b]]]
             # per-task source block (min source window's block); order the
             # block's tasks by it so steps form long same-block runs
             tblk = task_minwin[tsel] // blk_rows
@@ -635,12 +652,12 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
                 state["init"].append(1 if first else 0)
                 first = False
                 state["obk"].append(local_b)
-                for t in tsel[i:j]:
-                    state["sid_rows"].append(tasks_sid[t])
-                    state["relw"].append(tasks_win_a[t] - b * YBLOCK)
-                for _ in range(B_VREGS - (j - i)):
-                    state["sid_rows"].append(pad_sid)
-                    state["relw"].append(0)
+                state["sid_rows"].extend(tsel[i:j].tolist())
+                state["relw"].extend(
+                    (tasks_win_a[tsel[i:j]] - b * YBLOCK).tolist())
+                npad = B_VREGS - (j - i)
+                state["sid_rows"].extend([-1] * npad)
+                state["relw"].extend([0] * npad)
                 i = j
             block_pos[b] = concat_base + local_b
         concat_base += len(state["gblocks"])

@@ -46,12 +46,19 @@ fill-in for any assembled block format (experiments/fill_probe.py).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .route import plan_copy, plan_reduce, CopyPlan, ReducePlan
+
+# plans depend only on connectivity (elem_dofs, N, d, two_level) — cache
+# them so re-assembly with new material values (material optimization,
+# Newton steps) skips the ~40 s host routing compile
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 8
 
 
 def _split_compact(grp, node, cap, pad=128):
@@ -148,6 +155,8 @@ class RoutedEBE:
     gather: CopyPlan            # component planes [d*N] -> slots [Eb*nd*128]
     scatter: ReducePlan         # slots [Eb*nd*128] -> partials (or [d*N])
     scatter_rest: tuple         # follow-up reduce stages down to [d*N]
+    order: jnp.ndarray | None   # [N] user dof held by internal slot i
+    rank: jnp.ndarray | None    # [N] internal slot of user dof (inverse)
     num_dofs: int               # nodes
     vector_dim: int
     interpret: bool
@@ -155,11 +164,24 @@ class RoutedEBE:
     @classmethod
     def build(cls, Ke, elem_dofs, num_dofs: int, vector_dim: int = 1,
               interpret: bool | None = None,
-              two_level: bool | None = None) -> "RoutedEBE":
+              two_level: bool | None = None,
+              coords=None) -> "RoutedEBE":
         """Ke: [E, nd, nd] (node-major dof order: a = node * d + comp);
         elem_dofs: [E, n] node ids; num_dofs = number of NODES.
 
-        ``two_level`` (default: on for E >= 4096): see module docstring."""
+        ``two_level`` (default: on for E >= 4096): see module docstring.
+
+        ``coords`` ([num_dofs, dim] positions): when given, the operator
+        REORDERS internally — elements along RCB leaves, dofs by first
+        touch — so routing chains stay small on arbitrarily-numbered
+        input meshes, and ``__call__`` then works in the INTERNAL
+        ordering (``order``/``rank`` non-None).  Callers keep solver
+        vectors internal for the whole solve and convert once each way
+        with :meth:`permute_in` / :meth:`permute_out`; applying A costs
+        the same either way.  Without coords the input numbering is used
+        as-is (correct always; fast only if the mesh was pre-ordered,
+        e.g. ``FEMMesh(..., node_order='firsttouch')`` over RCB-sorted
+        elements)."""
         Ke = jnp.asarray(Ke, jnp.float32)
         elem_dofs = np.asarray(elem_dofs)
         E, nd, _ = Ke.shape
@@ -173,6 +195,35 @@ class RoutedEBE:
             interpret = jax.default_backend() != "tpu"
         if two_level is None:
             two_level = E >= 4096
+
+        if coords is not None:
+            from ..mesh.reorder import rcb_order
+
+            cent = np.asarray(coords)[elem_dofs].mean(axis=1)
+            eperm = rcb_order(cent)
+            ed_sorted = elem_dofs[eperm]
+            uniq, first_pos = np.unique(ed_sorted.ravel(),
+                                        return_index=True)
+            touched = uniq[np.argsort(first_pos)]
+            untouched = np.setdiff1d(np.arange(N, dtype=np.int64), uniq)
+            order_np = np.concatenate([touched, untouched])
+            rank_np = np.empty(N, np.int64)
+            rank_np[order_np] = np.arange(N)
+            elem_dofs = rank_np[ed_sorted]
+            Ke = jnp.take(Ke, jnp.asarray(eperm), axis=0)
+            order = jnp.asarray(order_np)
+            rank = jnp.asarray(rank_np)
+        else:
+            order = rank = None
+
+        key = (hashlib.sha1(np.ascontiguousarray(elem_dofs)).hexdigest(),
+               N, d, two_level)
+        cached = _PLAN_CACHE.get(key)
+        if cached is not None:
+            gather, scatter, scatter_rest = cached
+            KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
+            return cls(KeB, gather, scatter, scatter_rest, order, rank,
+                       N, d, interpret)
 
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
@@ -213,6 +264,15 @@ class RoutedEBE:
             scatter = plan_reduce(dst1, d * N, d * Eb * n * 128)
             scatter_rest = ()
 
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = (gather, scatter, scatter_rest)
+        KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
+        return cls(KeB, gather, scatter, scatter_rest, order, rank, N, d,
+                   interpret)
+
+    @staticmethod
+    def _relayout(Ke, E, Eb, Ep, n, d, nd):
         # lane-major relayout on DEVICE (a ~1 GB host-side transpose copy
         # costs ~40 s at bench scale; the device does it in milliseconds),
         # rows/cols split (node, comp) so the contraction reads
@@ -220,10 +280,18 @@ class RoutedEBE:
         if Ep != E:
             Ke = jnp.concatenate(
                 [Ke, jnp.zeros((Ep - E, nd, nd), jnp.float32)])
-        KeB = jnp.transpose(Ke.reshape(Eb, 128, n, d, n, d),
-                            (0, 2, 3, 4, 5, 1))
-        return cls(KeB, gather, scatter, scatter_rest, num_dofs, d,
-                   interpret)
+        return jnp.transpose(Ke.reshape(Eb, 128, n, d, n, d),
+                             (0, 2, 3, 4, 5, 1))
+
+    # ------------------------------------------------------------------
+    def permute_in(self, u):
+        """User-ordered [N] / [N, d] -> internal ordering (identity when
+        built without coords)."""
+        return u if self.order is None else u[self.order]
+
+    def permute_out(self, y):
+        """Internal ordering -> user ordering."""
+        return y if self.order is None else y[self.rank]
 
     def _contract(self, ue):
         """[d, Eb, n, 128] component-major element values -> forces
@@ -259,9 +327,10 @@ class RoutedEBE:
         return y.reshape(d, self.num_dofs).T
 
     def tree_flatten(self):
-        return ((self.KeB, self.gather, self.scatter, self.scatter_rest),
+        return ((self.KeB, self.gather, self.scatter, self.scatter_rest,
+                 self.order, self.rank),
                 (self.num_dofs, self.vector_dim, self.interpret))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], ch[2], ch[3], aux[0], aux[1], aux[2])
+        return cls(*ch, aux[0], aux[1], aux[2])

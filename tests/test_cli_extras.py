@@ -252,3 +252,36 @@ def test_mesh_convert_pipeline_flags(tmp_path, capsys):
                        "--clean"])
     Vm, Fm = meshio.load(mg)
     assert len(Fm) == 2 * 6 * 27
+
+
+def test_import_bo_geometry(tmp_path):
+    """Bo Zhu ascii voxel import (tools/import_bo_geometry.cc): header +
+    0/1 grid -> tet mesh of only the occupied voxels."""
+    from meshfem_tpu.cli import tools as tools_cli
+    from meshfem_tpu.io import meshio
+
+    # 2 slices x 2 rows x 3 cols, an L of 4 occupied voxels
+    txt = "2 2 3\n" \
+          "1 1 0  0 0 0\n" \
+          "1 0 0  1 0 0\n"
+    inp = tmp_path / "bo.txt"
+    inp.write_text(txt)
+    out = tmp_path / "bo.msh"
+    tools_cli.main(["import_bo_geometry", str(inp), str(out)])
+    V, T = meshio.load(out)
+    assert T.shape[1] == 4                     # tets
+    # 4 voxels x 6 tets each (or 5 — per voxels_to_simplices scheme)
+    assert len(T) in (4 * 5, 4 * 6)
+    # volume equals the 4 occupied unit voxels
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    import jax.numpy as jnp
+
+    _, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    assert abs(float(jnp.sum(jnp.abs(vol))) - 4.0) < 1e-9
+    # bad token count errors out
+    (tmp_path / "bad.txt").write_text("2 2 3\n1 0\n")
+    import pytest
+
+    with pytest.raises(SystemExit):
+        tools_cli.main(["import_bo_geometry", str(tmp_path / "bad.txt"),
+                        str(out)])

@@ -96,3 +96,36 @@ def test_dd_multi_rhs_and_rhs_axis():
         uj, _ = dd_cg_solve(mesh1, dd, B[..., j], free_mask=~fixed, iters=40)
         np.testing.assert_allclose(np.asarray(U[..., j]), np.asarray(uj),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_dd_tol_stopping_and_block_precond():
+    """tol-based chunked stopping converges and stops early; the block
+    preconditioner reaches the tolerance in fewer iterations than point
+    Jacobi on the same problem."""
+    V, T = generators.grid_tet(6, 6, 6)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    load = np.zeros((sim.num_dofs, 3))
+    load[mesh.nodes_in_box((1, 0, 0), (1, 1, 1)), 2] = -1.0
+    load[fixed] = 0.0
+
+    devs = np.asarray(jax.devices()[:4])
+    mesh2 = Mesh(devs, axis_names=("e",))
+    dd = DomainDecomposition.from_simulator(sim, 4)
+    b2 = float(np.sum(load * load))
+
+    u, res2 = dd_cg_solve(mesh2, dd, load, free_mask=~fixed, iters=4000,
+                          tol=1e-8, chunk=100)
+    assert float(res2) <= 1e-16 * b2 * 1.01
+
+    sim.fix_nodes(np.flatnonzero(fixed.any(axis=1)))
+    u_ref, _ = sim.solve(extra_load=jnp.asarray(load), tol=1e-12)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=5e-7)
+
+    ub, res2b = dd_cg_solve(mesh2, dd, load, free_mask=~fixed, iters=4000,
+                            tol=1e-8, chunk=100, precond="block")
+    assert float(res2b) <= 1e-16 * b2 * 1.01
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(u_ref),
+                               atol=5e-7)

@@ -177,3 +177,86 @@ def test_morton_node_order_consistency():
     np.testing.assert_array_equal(np.sort(perm[ref.bdry_nodes]),
                                   mor.bdry_nodes)
     np.testing.assert_array_equal(mor.node_positions[mor.vertex_nodes], V)
+
+
+def test_routed_ebe_internal_reorder(rng):
+    """coords= triggers internal RCB/first-touch reordering; permute_in/out
+    round-trips to user ordering and matches the gather-pyramid EBE."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.ops import element_matrices as em
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.sparse.ebe import EBEKernel
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tet(6, 5, 4)
+    mesh = FEMMesh(V, T, degree=2)           # reference (unordered) numbering
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    D = et.isotropic(3, 200.0, 0.3)
+    M = em.fused_matrix_for(D, 3, 2, jnp.float32)
+    Ke = em.element_elasticity_fused_apply(
+        jnp.asarray(gl, jnp.float32), jnp.asarray(vol, jnp.float32), M, 10)
+    kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3,
+                         coords=mesh.node_positions)
+    assert rk.order is not None
+    u = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
+    y0 = np.asarray(kern(u))
+    y1 = np.asarray(rk.permute_out(rk(rk.permute_in(u))))
+    scale = np.abs(y0).max()
+    np.testing.assert_allclose(y1 / scale, y0 / scale, atol=5e-6)
+    d0 = np.asarray(kern.diagonal())
+    d1 = np.asarray(rk.permute_out(rk.diagonal()))
+    np.testing.assert_allclose(d1, d0, rtol=2e-5)
+
+
+def test_routed_ebe_plan_cache(rng):
+    """Same connectivity, new Ke values: plans are reused (cache hit)."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.sparse import routed_ebe
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+
+    V, T = generators.grid_tri(7, 6)
+    mesh = FEMMesh(V, T, degree=1, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 2)
+    Ke = jnp.asarray(jnp.einsum("eid,ejd,e->eij", gl, gl, jnp.abs(vol)),
+                     jnp.float32)
+    r1 = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 1)
+    r2 = RoutedEBE.build(2.0 * Ke, mesh.elem_nodes, mesh.num_nodes, 1)
+    assert r2.gather is r1.gather and r2.scatter is r1.scatter
+    u = jnp.asarray(rng.standard_normal(mesh.num_nodes), jnp.float32)
+    np.testing.assert_allclose(np.asarray(r2(u)), 2.0 * np.asarray(r1(u)),
+                               rtol=1e-5)
+
+
+def test_simulator_routed_solve_matches_ebe(rng):
+    """operator='routed' (f32 CG + f64 refinement) reproduces the EBE f64
+    solve through the simulator's public surface."""
+    import json
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.physics import ElasticitySimulator, Material, parse_bc
+
+    V, F = generators.grid_tri(8, 4, hi=(2.0, 1.0))
+    mesh = FEMMesh(V, F, degree=2)
+    bc = parse_bc(json.dumps({"regions": [
+        {"type": "dirichlet", "value": [0, 0],
+         "box%": {"minCorner": [-0.001, -0.001],
+                  "maxCorner": [0.001, 1.001]}},
+        {"type": "force", "value": [0, -1.0],
+         "box%": {"minCorner": [0.999, -0.001],
+                  "maxCorner": [1.001, 1.001]}}]}), dim=2)
+
+    sim = ElasticitySimulator(mesh, Material.isotropic(2, 200.0, 0.3))
+    sim.apply_boundary_conditions(bc)
+    u0, _ = sim.solve(tol=1e-12, operator="ebe")
+    u1, res1 = sim.solve(tol=1e-10, operator="routed")
+    scale = np.abs(np.asarray(u0)).max()
+    np.testing.assert_allclose(np.asarray(u1) / scale,
+                               np.asarray(u0) / scale, atol=1e-8)
+    assert res1.resnorm <= 1e-10
+
+    # block preconditioner through the routed path
+    u2, _ = sim.solve(tol=1e-10, operator="routed", precond="block")
+    np.testing.assert_allclose(np.asarray(u2) / scale,
+                               np.asarray(u0) / scale, atol=1e-8)

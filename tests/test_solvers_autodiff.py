@@ -298,3 +298,33 @@ def test_spsd_scipy_large_multi_rhs_traceable():
     assert np.abs(A @ X - B).max() < 1e-7
     x1 = np.asarray(sys_.solve(jnp.asarray(B[:, 0]), tol=1e-10))
     assert np.abs(A @ x1 - B[:, 0]).max() < 1e-7
+
+
+def test_dense_newton_rosenbrock_and_indefinite():
+    """dense_newton (reference newton_optimizer/dense_newton.hh): flipped
+    negative eigenvalues + Armijo backtracking minimize a nonconvex
+    function from a start where the Hessian is indefinite."""
+    import jax
+    import jax.numpy as jnp
+    from meshfem_tpu.solvers.newton import dense_newton
+
+    def f(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1 - x[:-1]) ** 2)
+
+    x, rep = dense_newton(f, np.array([0.5, 0.5, 0.5, 0.5]),
+                          grad_tol=1e-12)
+    assert rep.converged
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-8)
+    # energy decreased monotonically (line search guarantees)
+    e = np.asarray(rep.energy)
+    assert (np.diff(e) <= 1e-12).all()
+
+    # start at a saddle-ish point of a nonconvex quartic: negative
+    # curvature must be handled by the eigenvalue flip
+    def g(x):
+        return jnp.sum(x ** 4) - jnp.sum(x ** 2)
+
+    x2, rep2 = dense_newton(g, np.array([1e-3, -1e-3]), grad_tol=1e-12)
+    np.testing.assert_allclose(np.abs(np.asarray(x2)),
+                               1.0 / np.sqrt(2.0), atol=1e-10)
