@@ -67,7 +67,9 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     ``sim`` must have been built with a periodic dof_map (see
     :func:`periodic_simulator`).  ``precond``: 'jacobi' | 'block' (d x d
     node blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
-    preconditioned operator — the high-contrast workhorse).
+    preconditioned operator) | 'twolevel' / 'twolevel-mult' (P1-coarse
+    two-level, ``solvers/twolevel.py`` — the high-contrast workhorse
+    with bounded iteration counts).
     Returns (w [fl, N, dim], iters list)."""
     from ..solvers import precond as pc
 
@@ -83,6 +85,16 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
         diag = sim.K_diagonal()
         safe = jnp.where(diag > 0, diag, 1.0)
         M_inv = lambda r: r / (safe if r.ndim == 2 else safe[..., None])
+    elif precond in ("twolevel", "twolevel-mult"):
+        # P1-coarse two-level (solvers/twolevel.py): bounded iteration
+        # counts at high contrast — the role CHOLMOD's factorization
+        # plays for the reference (PeriodicHomogenization.hh:48-53)
+        from ..solvers.twolevel import TwoLevel
+
+        tl = TwoLevel.from_simulator(
+            sim, mode=("multiplicative" if precond.endswith("mult")
+                       else "additive"), project=project)
+        M_inv = tl.M_inv
     else:
         blocks = pc.node_block_diagonal(sim.Ke, sim.elem_dofs, sim.num_dofs,
                                         dim)

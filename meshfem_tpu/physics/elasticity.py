@@ -325,7 +325,10 @@ class ElasticitySimulator:
               chebyshev_degree: int = 6, operator: str = "auto"):
         """Returns (u [N, dim] nodal displacements, CGResult).
 
-        ``precond``: 'jacobi' (pointwise) | 'block' (exact d x d node
+        ``precond``: 'jacobi' (pointwise) | 'twolevel' / 'twolevel-mult'
+        (P1-coarse two-level, additive / multiplicative —
+        ``solvers/twolevel.py``, the high-contrast workhorse with bounded
+        iteration counts) | 'block' (exact d x d node
         blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
         preconditioned operator — the high-contrast workhorse; see
         solvers/precond.py).  The solve runs in reduced DOF space; the
@@ -378,6 +381,16 @@ class ElasticitySimulator:
             diag = self.K_diagonal()
             safe = jnp.where(diag > 0, diag, 1.0)
             M_inv = lambda r: r / safe
+        elif precond in ("twolevel", "twolevel-mult"):
+            # P1-coarse two-level (solvers/twolevel.py): high-contrast /
+            # ill-conditioned workhorse, bounded iteration counts
+            from ..solvers.twolevel import TwoLevel
+
+            tl = TwoLevel.from_simulator(
+                self, mode=("multiplicative" if precond.endswith("mult")
+                            else "additive"),
+                free_mask=free, project=project)
+            M_inv = tl.M_inv
         else:
             from ..solvers import precond as pc
 
@@ -423,6 +436,17 @@ class ElasticitySimulator:
         if precond == "jacobi":
             safe = jnp.where(diag_i > 0, diag_i, 1.0)
             M_inv = lambda r: r / safe
+        elif precond in ("twolevel", "twolevel-mult"):
+            from ..solvers.twolevel import TwoLevel
+
+            order = None if rk.order is None else np.asarray(rk.order)
+            tl = TwoLevel.from_simulator(
+                self, mode=("multiplicative" if precond.endswith("mult")
+                            else "additive"),
+                free_mask=free, node_order=order,
+                project=lambda v: v * free_i.astype(v.dtype),
+                apply_A=(rk if precond.endswith("mult") else None))
+            M_inv = tl.M_inv
         else:
             blocks = pc.node_block_diagonal(
                 jnp.asarray(self.Ke, f32), self.elem_dofs, self.num_dofs,
