@@ -114,10 +114,39 @@ def _hole_seed(poly):
     return p.mean(axis=0)
 
 
+def _valid_triangulation(out, outline, holes, target_area):
+    """Output validity gate (the CDT's floating-point orient/in-circle
+    predicates are NOT exact; cocircular grid-like inputs can corrupt the
+    triangulation): non-empty, positive areas, total area matching the
+    polygon area minus holes, no oversized triangles."""
+    if out is None:
+        return False
+    V, F = out
+    if len(F) == 0 or len(V) < 3:
+        return False
+    P = V[F]
+    areas = 0.5 * ((P[:, 1, 0] - P[:, 0, 0]) * (P[:, 2, 1] - P[:, 0, 1])
+                   - (P[:, 1, 1] - P[:, 0, 1]) * (P[:, 2, 0] - P[:, 0, 0]))
+    if areas.min() <= 0:
+        return False
+    if target_area > 0 and areas.max() > 4.0 * target_area:
+        return False
+
+    def poly_area(p):
+        p = np.asarray(p, dtype=np.float64)
+        x, y = p[:, 0], p[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+    want = poly_area(outline) - sum(poly_area(h) for h in holes)
+    return abs(float(areas.sum()) - want) <= 1e-6 * max(want, 1e-30)
+
+
 def triangulate_pslg_quality(outline, holes=(), target_area: float = 0.01,
                              min_angle: float = 20.0):
     """Native Ruppert quality CDT over an outline + hole polygons.
-    Returns (V, F) or None when the native library is unavailable."""
+    Returns (V, F), or None when the native library is unavailable or its
+    output fails the validity gate (the caller then falls back to the
+    scipy path)."""
     from ..native import triangulate_ruppert
 
     outline = np.asarray(outline, dtype=np.float64)
@@ -135,6 +164,9 @@ def triangulate_pslg_quality(outline, holes=(), target_area: float = 0.01,
     out = triangulate_ruppert(np.vstack(pts), np.asarray(segs),
                               holes=np.asarray(seeds) if seeds else None,
                               min_angle=min_angle, max_area=target_area)
+    if out is not None and not _valid_triangulation(out, outline, holes,
+                                                    target_area):
+        return None
     return out
 
 

@@ -159,9 +159,12 @@ void morton_codes(const uint64_t* q, int64_t n, int32_t d, int32_t bits,
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <deque>
 #include <map>
 #include <queue>
 #include <set>
+#include <tuple>
+#include <unordered_map>
 #include <vector>
 
 namespace ruppert {
@@ -195,14 +198,16 @@ struct CDT {
     std::vector<Tri> tris;
     std::set<std::pair<int64_t, int64_t>> constrained;
     int64_t last_tri = 0;
+    int64_t last_t0 = -1;    // first cavity triangle of the last insert
 
     static std::pair<int64_t, int64_t> key(int64_t a, int64_t b) {
         return a < b ? std::make_pair(a, b) : std::make_pair(b, a);
     }
 
-    int64_t locate(const P2& p) const {
-        // walk from last_tri; fall back to scan
-        int64_t t = last_tri;
+    int64_t locate(const P2& p, int64_t hint = -1) const {
+        // walk from the hint (or last_tri); fall back to scan
+        int64_t t = (hint >= 0 && hint < (int64_t)tris.size()
+                     && tris[hint].alive) ? hint : last_tri;
         for (int steps = 0; steps < (int)tris.size() + 8; ++steps) {
             if (t < 0 || !tris[t].alive) break;
             const Tri& T = tris[t];
@@ -229,8 +234,9 @@ struct CDT {
     }
 
     // Insert p; returns new vertex id or -1 (duplicate / lost).
-    int64_t insert(const P2& p) {
-        int64_t t0 = locate(p);
+    int64_t insert(const P2& p, int64_t hint = -1) {
+        int64_t t0 = locate(p, hint);
+        last_t0 = t0;
         if (t0 < 0) return -1;
         for (int k = 0; k < 3; ++k) {
             const P2& q = pts[tris[t0].v[k]];
@@ -327,21 +333,6 @@ struct CDT {
     }
 };
 
-static bool point_in_pslg(const P2& p, const std::vector<P2>& pts,
-                          const std::vector<std::pair<int64_t, int64_t>>& segs) {
-    // even-odd ray casting against the input segments
-    bool inside = false;
-    for (auto& s : segs) {
-        const P2& a = pts[s.first];
-        const P2& b = pts[s.second];
-        if ((a.y > p.y) != (b.y > p.y)) {
-            double xi = a.x + (p.y - a.y) * (b.x - a.x) / (b.y - a.y);
-            if (p.x < xi) inside = !inside;
-        }
-    }
-    return inside;
-}
-
 }  // namespace ruppert
 
 extern "C" {
@@ -389,41 +380,180 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
                                         segs.back().second));
     }
 
-    std::set<std::pair<int64_t, int64_t>> edge_set;
-    auto rebuild_edge_set = [&]() {
-        edge_set.clear();
-        for (const Tri& T : cdt.tris) {
-            if (!T.alive) continue;
-            for (int i = 0; i < 3; ++i)
-                edge_set.insert(CDT::key(T.v[(i + 1) % 3],
-                                         T.v[(i + 2) % 3]));
+    // ---- scalable refinement driver ----------------------------------
+    // All per-step costs are O(local): an edge -> live-triangle hash map
+    // kept current by overwriting the entries of every new fan triangle
+    // (an entry can only go stale when BOTH triangles of an edge die,
+    // i.e. when the edge itself is gone); apex-based O(1) encroachment
+    // (in a CDT, if any vertex encroaches a segment, one of the two
+    // apexes of its edge does); a lazy priority queue of bad triangles;
+    // and region flags maintained through insertions instead of
+    // O(#segments) point-in-polygon parity tests per triangle.
+    auto ekey = [](int64_t a, int64_t b) -> uint64_t {
+        if (a > b) std::swap(a, b);
+        return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+    };
+    std::unordered_map<uint64_t, int64_t> edge_map;   // edge -> a live tri
+    std::unordered_map<uint64_t, size_t> seg_of_edge;
+    std::vector<char> inside;            // region flag per triangle id
+    char regions_active = 0;
+    auto edge_tri = [&](int64_t a, int64_t b) -> int64_t {
+        auto it = edge_map.find(ekey(a, b));
+        if (it == edge_map.end()) return -1;
+        int64_t t = it->second;
+        if (t < 0 || !cdt.tris[t].alive) return -1;
+        const Tri& T = cdt.tris[t];
+        bool ha = false, hb = false;
+        for (int i = 0; i < 3; ++i) {
+            ha |= T.v[i] == a;
+            hb |= T.v[i] == b;
         }
+        return (ha && hb) ? t : -1;
     };
-    auto has_edge = [&](int64_t a, int64_t b) {
-        return edge_set.count(CDT::key(a, b)) > 0;
-    };
-    auto encroached = [&](int64_t a, int64_t b) -> int64_t {
+    auto diametral = [&](int64_t a, int64_t b, const P2& p) -> bool {
         const P2& A = cdt.pts[a];
         const P2& B = cdt.pts[b];
         double mx = 0.5 * (A.x + B.x), my = 0.5 * (A.y + B.y);
         double r2 = 0.25 * ((A.x - B.x) * (A.x - B.x)
                             + (A.y - B.y) * (A.y - B.y));
-        for (int64_t v = 3; v < (int64_t)cdt.pts.size(); ++v) {
-            if (v == a || v == b) continue;
-            double dx = cdt.pts[v].x - mx, dy = cdt.pts[v].y - my;
-            if (dx * dx + dy * dy < r2 * (1.0 - 1e-9)) return v;
+        double dx = p.x - mx, dy = p.y - my;
+        return dx * dx + dy * dy < r2 * (1.0 - 1e-9);
+    };
+    auto apex_of = [&](int64_t t, int64_t a, int64_t b) -> int64_t {
+        for (int i = 0; i < 3; ++i) {
+            int64_t v = cdt.tris[t].v[i];
+            if (v != a && v != b) return v;
         }
         return -1;
     };
+    auto encroached = [&](int64_t a, int64_t b) -> bool {
+        int64_t t = edge_tri(a, b);
+        if (t < 0) return false;          // missing edge handled separately
+        int64_t ap = apex_of(t, a, b);
+        if (ap >= 3 && diametral(a, b, cdt.pts[ap])) return true;
+        // opposite side: neighbor across the edge
+        for (int i = 0; i < 3; ++i) {
+            if (cdt.tris[t].v[i] != a && cdt.tris[t].v[i] != b) {
+                int64_t n = cdt.tris[t].adj[i];
+                if (n >= 0) {
+                    int64_t ap2 = apex_of(n, a, b);
+                    if (ap2 >= 3 && diametral(a, b, cdt.pts[ap2]))
+                        return true;
+                }
+            }
+        }
+        return false;
+    };
+
+    std::deque<size_t> seg_q;
     std::vector<char> frozen;   // segments that can no longer be split
+    const double min_angle = min_angle_deg * 3.14159265358979323846 / 180.0;
+    const double cot2 = 1.0 / (4.0 * std::sin(min_angle)
+                               * std::sin(min_angle));
+    const int64_t MAX_V = 20000000;
+
+    auto tri_score = [&](int64_t t) -> double {
+        const Tri& T = cdt.tris[t];
+        if (T.v[0] < 3 || T.v[1] < 3 || T.v[2] < 3) return 0.0;
+        const P2& A = cdt.pts[T.v[0]];
+        const P2& B = cdt.pts[T.v[1]];
+        const P2& C = cdt.pts[T.v[2]];
+        double area = 0.5 * std::fabs(orient(A, B, C));
+        if (area < 1e-22) return 0.0;
+        double l2[3] = {
+            (B.x - C.x) * (B.x - C.x) + (B.y - C.y) * (B.y - C.y),
+            (A.x - C.x) * (A.x - C.x) + (A.y - C.y) * (A.y - C.y),
+            (A.x - B.x) * (A.x - B.x) + (A.y - B.y) * (A.y - B.y)};
+        double lmin = std::min(l2[0], std::min(l2[1], l2[2]));
+        double r2 = l2[0] * l2[1] * l2[2] / (16.0 * area * area);
+        double q = r2 / lmin;   // (r / lmin)^2; bad when > cot2
+        double score = 0;
+        if (q > cot2) score = q / cot2;
+        if (max_area > 0 && area > max_area)
+            score = std::max(score, area / max_area);
+        return score;
+    };
+    // (score, tri, v0, v1, v2) — verts detect stale entries
+    using QEnt = std::tuple<double, int64_t, int64_t, int64_t, int64_t>;
+    std::priority_queue<QEnt> bad_q;
+    auto push_if_bad = [&](int64_t t) {
+        if (!regions_active || !inside[t]) return;
+        double s = tri_score(t);
+        if (s > 1.0 + 1e-12)
+            bad_q.push({s, t, cdt.tris[t].v[0], cdt.tris[t].v[1],
+                        cdt.tris[t].v[2]});
+    };
+
+    // wrapped insertion: registers new fan edges, maintains region flags,
+    // requeues segments whose apexes changed and new bad triangles.
+    // split_edge >= 0: p is a midpoint of segment (sa, sb) — fan regions
+    // assigned per side; otherwise the cavity is region-uniform.
+    auto do_insert = [&](const P2& p, int64_t hint, int64_t sa, int64_t sb,
+                         char r_pos, char r_neg) -> int64_t {
+        int64_t t_before = (int64_t)cdt.tris.size();
+        int64_t v = cdt.insert(p, hint);
+        int64_t t_after = (int64_t)cdt.tris.size();
+        char r_uniform = 0;
+        if (regions_active && sa < 0 && cdt.last_t0 >= 0)
+            r_uniform = inside[cdt.last_t0];
+        inside.resize(t_after, 0);
+        for (int64_t t = t_before; t < t_after; ++t) {
+            const Tri& T = cdt.tris[t];
+            if (!T.alive) continue;
+            for (int i = 0; i < 3; ++i) {
+                int64_t ea = T.v[(i + 1) % 3], eb = T.v[(i + 2) % 3];
+                edge_map[ekey(ea, eb)] = t;
+                if (cdt.constrained.count(CDT::key(ea, eb))) {
+                    auto it = seg_of_edge.find(ekey(ea, eb));
+                    if (it != seg_of_edge.end()) seg_q.push_back(it->second);
+                }
+            }
+            if (regions_active) {
+                if (sa >= 0) {
+                    const P2& A = cdt.pts[sa];
+                    const P2& B = cdt.pts[sb];
+                    P2 cen{(cdt.pts[T.v[0]].x + cdt.pts[T.v[1]].x
+                            + cdt.pts[T.v[2]].x) / 3,
+                           (cdt.pts[T.v[0]].y + cdt.pts[T.v[1]].y
+                            + cdt.pts[T.v[2]].y) / 3};
+                    inside[t] = orient(A, B, cen) > 0 ? r_pos : r_neg;
+                } else {
+                    inside[t] = r_uniform;
+                }
+                push_if_bad(t);
+            }
+        }
+        return v;
+    };
+
     auto split_seg = [&](size_t si) {
         int64_t a = segs[si].first, b = segs[si].second;
         P2 m{0.5 * (cdt.pts[a].x + cdt.pts[b].x),
              0.5 * (cdt.pts[a].y + cdt.pts[b].y)};
+        int64_t hint = edge_tri(a, b);
+        // region of each side of the segment (before the edge vanishes)
+        char r_pos = 0, r_neg = 0;
+        if (regions_active && hint >= 0) {
+            int64_t ap = apex_of(hint, a, b);
+            char rh = inside[hint];
+            char ro = rh;
+            for (int i = 0; i < 3; ++i) {
+                if (cdt.tris[hint].v[i] == ap) {
+                    int64_t n = cdt.tris[hint].adj[i];
+                    if (n >= 0) ro = inside[n];
+                }
+            }
+            if (orient(cdt.pts[a], cdt.pts[b], cdt.pts[ap]) > 0) {
+                r_pos = rh; r_neg = ro;
+            } else {
+                r_pos = ro; r_neg = rh;
+            }
+        }
         // un-constrain BEFORE inserting: the cavity search must be able to
         // cross the edge its midpoint lands on
         cdt.constrained.erase(CDT::key(a, b));
-        int64_t vm = cdt.insert(m);
+        int64_t vm = do_insert(m, hint, regions_active ? a : -1, b,
+                               r_pos, r_neg);
         if (vm < 0 || vm == a || vm == b) {
             cdt.constrained.insert(CDT::key(a, b));
             // midpoint coincides with an existing vertex or location
@@ -432,92 +562,161 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
             frozen[si] = 1;
             return;
         }
+        seg_of_edge.erase(ekey(a, b));
         segs[si] = {a, vm};
         segs.push_back({vm, b});
         frozen.push_back(0);
         cdt.constrained.insert(CDT::key(a, vm));
         cdt.constrained.insert(CDT::key(vm, b));
+        seg_of_edge[ekey(a, vm)] = si;
+        seg_of_edge[ekey(vm, b)] = segs.size() - 1;
+        seg_q.push_back(si);
+        seg_q.push_back(segs.size() - 1);
     };
 
-    const double min_angle = min_angle_deg * 3.14159265358979323846 / 180.0;
-    const double cot2 = 1.0 / (4.0 * std::sin(min_angle) * std::sin(min_angle));
-    const int64_t MAX_V = 200000;
-
+    // initial registration
+    for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t) {
+        if (!cdt.tris[t].alive) continue;
+        for (int i = 0; i < 3; ++i)
+            edge_map[ekey(cdt.tris[t].v[(i + 1) % 3],
+                          cdt.tris[t].v[(i + 2) % 3])] = t;
+    }
+    for (size_t si = 0; si < segs.size(); ++si)
+        seg_of_edge[ekey(segs[si].first, segs[si].second)] = si;
     frozen.assign(segs.size(), 0);
-    for (int iter = 0; iter < 200000; ++iter) {
-        if ((int64_t)cdt.pts.size() > MAX_V) break;
-        rebuild_edge_set();
-        // 1) missing or encroached segments first
-        bool did = false;
-        for (size_t si = 0; si < segs.size(); ++si) {
+    inside.assign(cdt.tris.size(), 0);
+
+    // phase 1: conforming, non-encroached segments (region flags off)
+    auto drain_segments = [&]() {
+        int64_t guard = 0;
+        while (!seg_q.empty()) {
+            if ((int64_t)cdt.pts.size() > MAX_V) break;
+            if (++guard > (int64_t)(40 * segs.size()) + 4000000) break;
+            size_t si = seg_q.front();
+            seg_q.pop_front();
             if (frozen[si]) continue;
-            if (!has_edge(segs[si].first, segs[si].second)
-                || encroached(segs[si].first, segs[si].second) >= 0) {
-                split_seg(si);
-                did = true;
-                break;
+            int64_t a = segs[si].first, b = segs[si].second;
+            if (edge_tri(a, b) < 0 || encroached(a, b)) split_seg(si);
+        }
+    };
+    for (size_t si = 0; si < segs.size(); ++si) seg_q.push_back(si);
+    drain_segments();
+
+    // phase 2: region classification by flood fill from the super
+    // triangle and the hole seeds, crossing only unconstrained edges
+    {
+        inside.assign(cdt.tris.size(), 1);
+        std::deque<int64_t> bfs;
+        for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t) {
+            if (!cdt.tris[t].alive) continue;
+            if (cdt.tris[t].v[0] < 3 || cdt.tris[t].v[1] < 3
+                || cdt.tris[t].v[2] < 3) {
+                if (inside[t]) { inside[t] = 0; bfs.push_back(t); }
             }
         }
-        if (did) continue;
-        // 2) worst bad triangle inside the domain
-        int64_t bad = -1;
-        double worst = 0;
-        for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t) {
-            const Tri& T = cdt.tris[t];
-            if (!T.alive) continue;
-            if (T.v[0] < 3 || T.v[1] < 3 || T.v[2] < 3) continue;
-            const P2& A = cdt.pts[T.v[0]];
-            const P2& B = cdt.pts[T.v[1]];
-            const P2& C = cdt.pts[T.v[2]];
-            double area = 0.5 * std::fabs(orient(A, B, C));
-            if (area < 1e-22) continue;
-            P2 cen{(A.x + B.x + C.x) / 3, (A.y + B.y + C.y) / 3};
-            if (!point_in_pslg(cen, cdt.pts, input_segs)) continue;
-            double l2[3] = {
-                (B.x - C.x) * (B.x - C.x) + (B.y - C.y) * (B.y - C.y),
-                (A.x - C.x) * (A.x - C.x) + (A.y - C.y) * (A.y - C.y),
-                (A.x - B.x) * (A.x - B.x) + (A.y - B.y) * (A.y - B.y)};
-            double lmin = std::min(l2[0], std::min(l2[1], l2[2]));
-            // circumradius^2 = (l0 l1 l2) / (16 area^2)
-            double r2 = l2[0] * l2[1] * l2[2] / (16.0 * area * area);
-            double q = r2 / lmin;   // (r/lmin)^2; bad when > cot2
-            double score = 0;
-            if (q > cot2) score = q / cot2;
-            if (max_area > 0 && area > max_area)
-                score = std::max(score, area / max_area);
-            if (score > worst + 1e-12) { worst = score; bad = t; }
+        for (int64_t h = 0; h < n_holes; ++h) {
+            int64_t t = cdt.locate({holes_in[2 * h], holes_in[2 * h + 1]});
+            if (t >= 0 && inside[t]) { inside[t] = 0; bfs.push_back(t); }
         }
-        if (bad < 0) break;
-        // circumcenter of bad
-        const Tri& T = cdt.tris[bad];
-        const P2& A = cdt.pts[T.v[0]];
-        const P2& B = cdt.pts[T.v[1]];
-        const P2& C = cdt.pts[T.v[2]];
+        while (!bfs.empty()) {
+            int64_t t = bfs.front();
+            bfs.pop_front();
+            for (int i = 0; i < 3; ++i) {
+                int64_t n = cdt.tris[t].adj[i];
+                if (n < 0 || !inside[n]) continue;
+                int64_t ea = cdt.tris[t].v[(i + 1) % 3];
+                int64_t eb = cdt.tris[t].v[(i + 2) % 3];
+                if (cdt.constrained.count(CDT::key(ea, eb))) continue;
+                inside[n] = 0;
+                bfs.push_back(n);
+            }
+        }
+        for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t)
+            if (!cdt.tris[t].alive) inside[t] = 0;
+        regions_active = 1;
+    }
+
+    // probe the WOULD-BE cavity of p read-only; collect encroached
+    // constrained boundary edges (Shewchuk-style rejection test)
+    std::vector<std::pair<int64_t, int64_t>> enc_edges;
+    auto probe_encroached = [&](const P2& p, int64_t hint) -> bool {
+        enc_edges.clear();
+        int64_t t0 = cdt.locate(p, hint);
+        if (t0 < 0) return false;
+        std::set<int64_t> in_cav;
+        std::deque<int64_t> q2;
+        q2.push_back(t0);
+        in_cav.insert(t0);
+        while (!q2.empty()) {
+            int64_t t = q2.front();
+            q2.pop_front();
+            for (int i = 0; i < 3; ++i) {
+                int64_t n = cdt.tris[t].adj[i];
+                if (n >= 0 && in_cav.count(n)) continue;
+                int64_t ea = cdt.tris[t].v[(i + 1) % 3];
+                int64_t eb = cdt.tris[t].v[(i + 2) % 3];
+                if (cdt.constrained.count(CDT::key(ea, eb))) {
+                    if (diametral(ea, eb, p))
+                        enc_edges.push_back({ea, eb});
+                    continue;
+                }
+                if (n < 0) continue;
+                const Tri& N = cdt.tris[n];
+                P2 a = cdt.pts[N.v[0]], b = cdt.pts[N.v[1]],
+                   c = cdt.pts[N.v[2]];
+                if (orient(a, b, c) <= 0) std::swap(b, c);
+                if (in_circle(a, b, c, p)) {
+                    in_cav.insert(n);
+                    q2.push_back(n);
+                }
+            }
+        }
+        return !enc_edges.empty();
+    };
+
+    // phase 3: quality refinement off the lazy priority queue
+    for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t)
+        if (cdt.tris[t].alive) push_if_bad(t);
+    int64_t guard = 0;
+    while (!bad_q.empty() || !seg_q.empty()) {
+        if ((int64_t)cdt.pts.size() > MAX_V) break;
+        if (++guard > 40000000) break;
+        if (!seg_q.empty()) { drain_segments(); continue; }
+        auto [score, t, v0, v1, v2] = bad_q.top();
+        bad_q.pop();
+        const Tri& T = cdt.tris[t];
+        if (!T.alive || T.v[0] != v0 || T.v[1] != v1 || T.v[2] != v2)
+            continue;                      // stale
+        if (!inside[t]) continue;
+        const P2& A = cdt.pts[v0];
+        const P2& B = cdt.pts[v1];
+        const P2& C = cdt.pts[v2];
         double d = 2.0 * (A.x * (B.y - C.y) + B.x * (C.y - A.y)
                           + C.x * (A.y - B.y));
+        if (d == 0.0) continue;
         P2 cc{((A.x * A.x + A.y * A.y) * (B.y - C.y)
                + (B.x * B.x + B.y * B.y) * (C.y - A.y)
                + (C.x * C.x + C.y * C.y) * (A.y - B.y)) / d,
               ((A.x * A.x + A.y * A.y) * (C.x - B.x)
                + (B.x * B.x + B.y * B.y) * (A.x - C.x)
                + (C.x * C.x + C.y * C.y) * (B.x - A.x)) / d};
-        // if cc encroaches a segment, split those segments instead
-        bool enc = false;
-        for (size_t si = 0; si < segs.size(); ++si) {
-            if (frozen[si]) continue;
-            const P2& Sa = cdt.pts[segs[si].first];
-            const P2& Sb = cdt.pts[segs[si].second];
-            double mx = 0.5 * (Sa.x + Sb.x), my = 0.5 * (Sa.y + Sb.y);
-            double r2s = 0.25 * ((Sa.x - Sb.x) * (Sa.x - Sb.x)
-                                 + (Sa.y - Sb.y) * (Sa.y - Sb.y));
-            double dx = cc.x - mx, dy = cc.y - my;
-            if (dx * dx + dy * dy < r2s * (1.0 - 1e-9)) {
-                split_seg(si);
-                enc = true;
-                break;
+        // if cc encroaches constrained segments, split those instead
+        if (probe_encroached(cc, t)) {
+            bool any = false;
+            for (auto& e : enc_edges) {
+                auto it = seg_of_edge.find(ekey(e.first, e.second));
+                if (it == seg_of_edge.end() || frozen[it->second]) continue;
+                split_seg(it->second);
+                any = true;
             }
+            if (any) {
+                // the triangle may still be bad; requeue for a re-check
+                if (cdt.tris[t].alive) push_if_bad(t);
+                continue;
+            }
+            continue;  // all encroached segments frozen: skip this tri
         }
-        if (!enc) cdt.insert(cc);
+        do_insert(cc, t, -1, -1, 0, 0);
     }
 
     // classify + compact output: keep triangles whose centroid is inside
@@ -525,35 +724,18 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
     // points: a triangle is dropped when its centroid is connected... we
     // use parity against input segments, which already excludes holes
     // bounded by segments; explicit hole seeds flip regions containing them)
+    // output selection: the flood-fill region flags maintained through
+    // refinement (exterior = reachable from the super triangle or a hole
+    // seed without crossing a constrained edge)
     std::vector<int64_t> vmap(cdt.pts.size(), -1);
     std::vector<std::array<int64_t, 3>> out;
-    for (const Tri& T : cdt.tris) {
-        if (!T.alive) continue;
+    for (int64_t t = 0; t < (int64_t)cdt.tris.size(); ++t) {
+        const Tri& T = cdt.tris[t];
+        if (!T.alive || !inside[t]) continue;
         if (T.v[0] < 3 || T.v[1] < 3 || T.v[2] < 3) continue;
         const P2& A = cdt.pts[T.v[0]];
         const P2& B = cdt.pts[T.v[1]];
         const P2& C = cdt.pts[T.v[2]];
-        P2 cen{(A.x + B.x + C.x) / 3, (A.y + B.y + C.y) / 3};
-        if (!point_in_pslg(cen, cdt.pts, input_segs)) continue;
-        bool in_hole = false;
-        for (int64_t h = 0; h < n_holes; ++h) {
-            // a hole seed marks the region containing it: drop triangles in
-            // the same parity region (approximate: radius test not needed —
-            // the seed's region is bounded by segments, so parity of the
-            // segment crossings between cen and the seed decides)
-            P2 hp{holes_in[2 * h], holes_in[2 * h + 1]};
-            int crossings = 0;
-            for (auto& s : input_segs) {
-                const P2& a = cdt.pts[s.first];
-                const P2& b = cdt.pts[s.second];
-                double d1 = orient(a, b, cen), d2 = orient(a, b, hp);
-                double d3 = orient(cen, hp, a), d4 = orient(cen, hp, b);
-                if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0)))
-                    ++crossings;
-            }
-            if (crossings % 2 == 0) { in_hole = true; break; }
-        }
-        if (in_hole) continue;
         std::array<int64_t, 3> tv;
         for (int i = 0; i < 3; ++i) tv[i] = T.v[i];
         if (orient(A, B, C) < 0) std::swap(tv[1], tv[2]);
