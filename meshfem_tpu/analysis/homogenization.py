@@ -274,20 +274,24 @@ def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
 
     diag = sim.K_diagonal()
     safe = jnp.where(diag > 0, diag, 1.0)
-    M_inv = lambda r: r / safe
 
-    ws, iters = [], []
-    for i in range(fl):
-        mask = stretch_mask if i < dim else shear_masks[i - dim]
-        free = jnp.asarray(~mask)
-        project = cg_mod.mask_projector(free)
-        rhs = sim.constant_strain_load(-canonical_strain(dim, i,
-                                                         sim.Ke.dtype))
-        res = cg_mod.cg(sim.apply_K, rhs, M_inv=M_inv, project=project,
-                        tol=tol, maxiter=100000)
-        ws.append(res.x)
-        iters.append(int(res.iters))
-    w = jnp.stack(ws)
+    # ONE block CG over all fl probes with a per-column mask projector
+    # (each probe pins different faces, but projection is elementwise, so
+    # a [Nd, d, fl] mask stack keeps every column in its own constrained
+    # subspace while the operator gathers amortize across the block —
+    # same multi-RHS story as the periodic path's cell problems).
+    free_cols = jnp.stack(
+        [jnp.asarray(~(stretch_mask if i < dim else shear_masks[i - dim]),
+                     sim.Ke.dtype) for i in range(fl)], axis=-1)
+    project = lambda v: v * free_cols
+    M_inv = lambda r: r / safe[..., None]
+    B = jnp.stack([sim.constant_strain_load(
+        -canonical_strain(dim, i, sim.Ke.dtype)) for i in range(fl)],
+        axis=-1)
+    res = cg_mod.cg_block(sim.apply_K, B, M_inv=M_inv, project=project,
+                          tol=tol, maxiter=100000)
+    w = jnp.moveaxis(res.x, -1, 0)
+    iters = [int(res.iters)] * fl
 
     EhO = homogenized_tensor_stress_form(sim, w, base_cell_volume)
     Ch = reconstruct_from_ortho_cell(EhO, dim)

@@ -249,22 +249,30 @@ class ElasticitySimulator:
         """(needs_translations [dim] bool, needs_rotations bool): which
         rigid modes the applied Dirichlet conditions fail to suppress
         (``analyzeDirichletPosedness``, ``LinearElasticity.hh:1169-1191``).
-        Like the reference, partial-constraint rotational analysis is
-        approximate: rotations are flagged only when nothing at all is
-        constrained, with a warning for ambiguous partial cases."""
-        import warnings
 
+        The reference punts on partial constraints ("analysis of partial
+        Dirichlet rotational posedness not yet implemented",
+        ``LinearElasticity.hh:1185``); here the analysis is EXACT: a
+        rigid-mode combination survives the constraints iff it vanishes
+        on every constrained dof, i.e. iff it lies in the null space of
+        the rigid basis restricted to constrained rows — computed from
+        the [k, k] Gram of that restriction."""
         counts = self.dirichlet_mask.sum(axis=0)       # per component
-        total = int(counts.sum())
         needs_translations = counts == 0
-        needs_rotations = total == 0
-        n_rigid = 3 if self.dim == 2 else 6
-        if total > 0 and (needs_translations.any() or total < n_rigid):
-            warnings.warn(
-                "analysis of partial Dirichlet rotational posedness is "
-                "approximate; unconstrained translation components: "
-                + "".join(c for c, n in zip("xyz", needs_translations)
-                          if n))
+        d = self.dim
+        Z = self.rigid_modes()                         # [Nd*d, k]
+        rows = self.dirichlet_mask.reshape(-1)
+        if not rows.any():
+            return needs_translations, True
+        C = Z[rows]                                    # [nc, k]
+        G = C.T @ C
+        scale = max(float(np.trace(G)), 1e-300)
+        w, V = np.linalg.eigh(G)
+        kernel = V[:, w < 1e-12 * scale]               # surviving combos
+        # rotational part: coefficients on the rotation columns (after
+        # the d translation columns)
+        needs_rotations = bool(kernel.shape[1]
+                               and np.abs(kernel[d:]).max() > 1e-8)
         return needs_translations, needs_rotations
 
     def fix_nodes(self, nodes, values=0.0, components=None):

@@ -114,15 +114,32 @@ def test_posedness_analysis():
     t, r = sim.analyze_dirichlet_posedness()
     assert t.all() and r            # nothing constrained
 
+    # x-components of the whole left edge: kills x-translation AND the
+    # rotation (the rotation's x-field -y is nonzero along the edge, and
+    # no rotation+translation combo vanishes on all of it) — the
+    # reference's approximate analysis can only warn here; ours is exact
     left = np.asarray(mesh.nodes_in_box((0, 0), (0, 1)))
     sim.fix_nodes(left, 0.0, components=[0])
-    with pytest.warns(UserWarning, match="translation"):
-        t, r = sim.analyze_dirichlet_posedness()
+    t, r = sim.analyze_dirichlet_posedness()
     assert not t[0] and t[1] and not r
 
     sim.fix_nodes(left, 0.0)
     t, r = sim.analyze_dirichlet_posedness()
     assert not t.any() and not r
+
+
+def test_posedness_partial_rotation_combo():
+    """A single constrained x-dof at (0, y0 != 0) suppresses pure
+    x-translation but NOT the combined mode rot_z + y0 * t_x (which
+    vanishes at that dof) — exactly the partial case the reference
+    declares unimplemented (LinearElasticity.hh:1185)."""
+    mesh, sim = cantilever()
+    X = np.asarray(mesh.node_positions)
+    node = int(np.argmin(np.abs(X[:, 0] - 0.0) + np.abs(X[:, 1] - 1.0)))
+    sim.fix_nodes([node], 0.0, components=[0])
+    t, r = sim.analyze_dirichlet_posedness()
+    assert not t[0] and t[1]
+    assert r                        # a rotational combination survives
 
 
 def test_invalid_indexed_type_combinations_rejected():

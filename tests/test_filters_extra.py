@@ -149,6 +149,30 @@ def test_native_ruppert_quality_cdt():
     assert m.volume() == pytest.approx(8.0, rel=1e-12)
 
 
+def test_native_ruppert_scales():
+    """The O(local) refinement driver: a ~130k-triangle quality mesh in
+    seconds (the old driver rebuilt the edge set and scanned every vertex
+    per split — hours at this size — and hard-capped at 200k vertices)."""
+    import time
+
+    from meshfem_tpu.native import triangulate_ruppert
+
+    sq = np.asarray([[0.0, 0], [1, 0], [1, 1], [0, 1]])
+    segs = np.asarray([[0, 1], [1, 2], [2, 3], [3, 0]])
+    t0 = time.time()
+    out = triangulate_ruppert(sq, segs, min_angle=25.0, max_area=1e-5)
+    dt = time.time() - t0
+    assert out is not None
+    V, F = out
+    assert len(F) > 100000
+    assert dt < 30.0, f"{len(F)} tris took {dt:.1f}s"
+    X = V[F]
+    a, b = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
+    areas = 0.5 * (a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
+    assert areas.min() > 0
+    assert abs(areas.sum() - 1.0) < 1e-9
+
+
 def test_pslg_entity_links():
     """Input-entity links for PSLG triangulations (Meshing.hh:559):
     every input corner survives, boundary vertices link to segments."""
