@@ -69,7 +69,9 @@ def main():
     dt = jnp.float32
     timings = {}
 
-    n = int(os.environ.get("MESHFEM_BENCH_N", "35"))
+    # n=36 (1.167M DOF): even, so the multigrid dyadic chain 36->18->9
+    # exists; the general/routed metrics treat the mesh as arbitrary.
+    n = int(os.environ.get("MESHFEM_BENCH_N", "36"))
     t0 = time.time()
     V, T = generators.grid_tet(n, n, n)
     mesh = FEMMesh(V, T, degree=2)
@@ -223,6 +225,44 @@ def main():
     ref = mp_refine(apply_hi, solve_lo, b64, tol=1e-10)
     timings["refined_solve_s"] = round(time.time() - t0, 2)
 
+    # ---- structured geometric multigrid (ops/structured_mg.py) -----------
+    # The CHOLMOD-role solve for structured grids: V-cycle-preconditioned
+    # CG (f32, HIGHEST-precision convs) + f64 refinement to 1e-10.  Only
+    # meaningful on even n (dyadic chain); report warm-solve wall-clock.
+    mg_extra = {}
+    if all(c % 2 == 0 for c in (n, n, n)):
+        from meshfem_tpu.ops.structured_mg import StructuredMG
+
+        t0 = time.time()
+        mg = StructuredMG.build(mesh, D, fixed_mask=jnp.asarray(fixed),
+                                dtype=dt)
+        timings["mg_build_s"] = round(time.time() - t0, 2)
+        b32 = jnp.asarray(load, dt) * jnp.asarray(~fixed, dt)
+        t0 = time.time()
+        u_mg, res_mg = mg.solve(b32, tol=3e-5)
+        jax.block_until_ready(u_mg)
+        timings["mg_first_solve_s"] = round(time.time() - t0, 2)
+        best = np.inf
+        for s in (1.0001, 1.0002):
+            t0 = time.time()
+            u2, r2 = mg.solve(b32 * s, tol=3e-5)
+            jax.block_until_ready(u2)
+            best = min(best, time.time() - t0)
+        mg_extra["mg_solve_ms_f32"] = round(best * 1e3, 1)
+        mg_extra["mg_cg_iters"] = int(res_mg.iters)
+        mg_extra["mg_levels"] = [list(l.n3) for l in mg.levels]
+
+        # f64-refined MG solve to 1e-10 (full CHOLMOD parity on device)
+        def solve_lo_mg(r32):
+            u, r = mg.solve(r32, tol=1e-4, maxiter=120)
+            return u, r.iters
+
+        t0 = time.time()
+        refm = mp_refine(apply_hi, solve_lo_mg, b64, tol=1e-10)
+        mg_extra["mg_refined_solve_s"] = round(time.time() - t0, 2)
+        mg_extra["mg_refined_relres"] = float(f"{refm.resnorm:.3e}")
+        mg_extra["mg_refined_rounds"] = refm.rounds
+
     device = str(jax.devices()[0])
     out = {
         "metric": "p2_tet_assembly_elements_per_s",
@@ -248,6 +288,7 @@ def main():
             "refined_solve_relres": float(f"{ref.resnorm:.3e}"),
             "refined_solve_rounds": ref.rounds,
             "refined_solve_inner_iters": ref.inner_iters,
+            **mg_extra,
             "timings": timings,
         },
     }

@@ -109,6 +109,18 @@ def _p1_diag(n3, Kc):
     return d
 
 
+def _p1_gershgorin(lvl: "P1Level") -> float:
+    """Row-scaled Gershgorin bound on lam_max(D^-1 A) for a P1 level
+    (abs row sums assembled per cell, exact on the host)."""
+    nx, ny, nz = lvl.n3
+    rs = np.zeros((nx + 1, ny + 1, nz + 1, 3))
+    ka = np.abs(np.asarray(lvl.Kc, np.float64)).sum(axis=1).reshape(8, 3)
+    for i, (bx, by, bz) in enumerate(_CHANNEL_BITS):
+        rs[bx:bx + nx, by:by + ny, bz:bz + nz] += ka[i]
+    diag = np.asarray(lvl.diag, np.float64)
+    return float((rs / np.maximum(diag, 1e-30)).max()) * 1.02
+
+
 # ---------------------------------------------------------------------------
 # Transfers (all pure slice / pad / reshape)
 # ---------------------------------------------------------------------------
@@ -245,6 +257,7 @@ class StructuredMG:
     @classmethod
     def build(cls, mesh: FEMMesh, D, fixed_mask=None, *, nu: int = 3,
               dense_cap: int = 4096, dtype=None,
+              exact_lambda: bool = False,
               fine_op: StructuredP2Elasticity | None = None
               ) -> "StructuredMG":
         op = fine_op or StructuredP2Elasticity.build(mesh, D, dtype=dtype)
@@ -313,14 +326,47 @@ class StructuredMG:
 
             coarse_lu = coarse_solve
 
-        # spectral bounds (host-driven power iteration per level)
+        # spectral bounds.  Default: host-side row-scaled Gershgorin
+        # (lam_max(D^-1 A) <= max_i sum_j |a_ij| / d_i, with per-cell
+        # contributions bounding the assembled |a_ij|) — zero device
+        # dispatches.  exact_lambda=True runs power iteration instead
+        # (tighter by ~20-40%, but each level costs a remote compile:
+        # measured ~980 s total at bench scale on the relayed backend).
         obj = cls(op, free_packed, fine_diag, tuple(levels), coarse_inv,
                   (1.0,) * (1 + len(levels)), nu, coarse_lu)
-        lam = [obj._lam_max_fine()]
-        for i in range(len(levels)):
-            lam.append(obj._lam_max_p1(i))
+        if exact_lambda:
+            lam = [obj._lam_max_fine()]
+            for i in range(len(levels)):
+                lam.append(obj._lam_max_p1(i))
+        else:
+            lam = [obj._lam_fine_gershgorin()]
+            for lvl in levels:
+                lam.append(_p1_gershgorin(lvl))
         obj.lam = tuple(lam)
         return obj
+
+    def _lam_fine_gershgorin(self):
+        """Row-scaled Gershgorin bound for the packed P2 level: abs-row
+        sums assembled exactly like the diagonal (uniform interior per
+        channel minus fake-cube shell contributions)."""
+        op = self.fine
+        Kabs = jnp.sum(jnp.abs(op.K_cube), axis=1).reshape(27, 3)
+        kern = np.asarray(op.kernel, np.float64)
+        rs_int = jnp.asarray(
+            np.abs(kern).sum(axis=(0, 1, 2, 3)).reshape(8, 3))
+        mx, my, mz = (op.n3[0] + 1, op.n3[1] + 1, op.n3[2] + 1)
+        n_slots = mx * my * mz * 8
+        full = jnp.tile(rs_int[None], (mx * my * mz, 1, 1)).reshape(
+            n_slots, 3)
+        nf = op.fake_slots.shape[0]
+        fe = jnp.tile(Kabs[None], (nf, 1, 1)) \
+            * op.fake_mask.astype(full.dtype)[:, :, None]
+        corr = op.fake_plan(fe.reshape(nf * 27, 3).astype(full.dtype))
+        rs = full.at[op.shell_slots].add(-corr)
+        diag = op.diagonal_channels()
+        live = np.asarray(op.valid_mask(), bool).reshape(-1)
+        r = np.asarray(rs)[live] / np.maximum(np.asarray(diag)[live], 1e-30)
+        return float(r.max()) * 1.02
 
     @staticmethod
     def _coarse_matrix(nc, h3, n3, D, mask):
@@ -401,7 +447,17 @@ class StructuredMG:
 
     def precondition(self, rp):
         """Packed residual [mx, my, G, C] -> packed correction (one
-        symmetric V-cycle; linear, SPD on the free subspace)."""
+        symmetric V-cycle; linear, SPD on the free subspace).
+
+        All matmuls/convs inside run at HIGHEST (true f32) precision:
+        XLA:TPU's default bf16 conv multiplication leaves ~1e-3 relative
+        error in the operator — harmless for Jacobi-CG iteration-rate
+        runs, but the V-cycle amplifies low modes ~1e3x and CG then sees
+        an indefinite operator (measured: <p, Ap> < 0 at 1.2M DOF)."""
+        with jax.default_matmul_precision("highest"):
+            return self._precondition_inner(rp)
+
+    def _precondition_inner(self, rp):
         mask = self.free_packed
         S = _chebyshev(self.fine.apply_packed, self.fine_diag, mask,
                        self.lam[0], self.nu)
@@ -469,13 +525,17 @@ from ..solvers.cg import CGResult as _CGResultShim  # noqa: E402
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
 def _mg_pcg(mg, bc, u_d, tol, maxiter):
     """Jitted MG-PCG core: every array (conv kernels, masks, dense coarse
-    inverse) enters as a jit argument through the ``mg`` pytree."""
+    inverse) enters as a jit argument through the ``mg`` pytree.  Traced
+    under HIGHEST matmul precision throughout — see
+    :meth:`StructuredMG.precondition` for why bf16 convs break MG-CG."""
     from ..solvers import cg as cg_mod
 
-    mask = mg.free_packed.astype(bc.dtype)
-    if u_d is not None:
-        bc = bc - mg.fine.apply_packed(u_d)
-    res = cg_mod.cg(mg.fine.apply_packed, bc, M_inv=mg.precondition,
-                    project=lambda v: v * mask, tol=tol, maxiter=maxiter)
-    x = res.x if u_d is None else res.x + u_d
-    return x, res.iters, res.resnorm
+    with jax.default_matmul_precision("highest"):
+        mask = mg.free_packed.astype(bc.dtype)
+        if u_d is not None:
+            bc = bc - mg.fine.apply_packed(u_d)
+        res = cg_mod.cg(mg.fine.apply_packed, bc, M_inv=mg.precondition,
+                        project=lambda v: v * mask, tol=tol,
+                        maxiter=maxiter)
+        x = res.x if u_d is None else res.x + u_d
+        return x, res.iters, res.resnorm

@@ -88,6 +88,7 @@ class ElasticitySimulator:
         self._kernel = EBEKernel.build(self.Ke, self.elem_dofs,
                                        self.num_dofs, self.dim)
         self._routed = None           # built lazily (routed_kernel)
+        self._mg = None               # (fixed-mask key, StructuredMG)
 
         # Boundary condition state.
         d = self.dim
@@ -131,6 +132,57 @@ class ElasticitySimulator:
             return False
         return self.mesh.num_elements >= int(
             os.environ.get("MESHFEM_ROUTED_MIN_E", "16384"))
+
+    def _structured_eligible(self) -> bool:
+        """Cheap pre-filter for the structured multigrid path (the full
+        Kuhn-grid validation runs inside StructuredP2Elasticity.build)."""
+        return (self.dim == 3 and self.mesh.degree == 2
+                and getattr(self.D, "ndim", 0) == 2       # uniform material
+                and self.num_dofs == self.mesh.num_nodes  # no periodic ids
+                and not self.no_rigid_motion
+                and self.dirichlet_mask.any()
+                and self.mesh.num_elements >= 3000)
+
+    def _solve_structured(self, b, fixed, vals, tol, maxiter):
+        """Kuhn-grid fast path: V-cycle-preconditioned CG
+        (``ops/structured_mg``), f64-refined on f32 backends.  Raises
+        ValueError when the mesh fails the Kuhn-grid validation."""
+        from ..ops.structured_mg import StructuredMG
+        from ..solvers import refine as refine_mod
+        from .. import config
+
+        key = self.dirichlet_mask.tobytes()
+        if self._mg is None or self._mg[0] != key:
+            f64_dev = config.x64_enabled() \
+                and jax.default_backend() == "cpu"
+            mg = StructuredMG.build(
+                self.mesh, self.D, fixed_mask=jnp.asarray(fixed),
+                dtype=jnp.float64 if f64_dev else jnp.float32)
+            self._mg = (key, mg)
+        mg = self._mg[1]
+        dt = mg.fine.kernel.dtype
+        if dt == jnp.float64 or tol >= 1e-5:
+            u, res = mg.solve(jnp.asarray(b, dt),
+                              fixed_values=jnp.asarray(vals, dt),
+                              tol=tol, maxiter=maxiter)
+            u_dof = jnp.asarray(u, b.dtype)
+            return u_dof[jnp.asarray(self.dof_map)], res
+
+        # f32 device MG + f64 residual refinement (solvers/refine)
+        free64 = (~fixed).astype(jnp.float64)
+        u_d = jnp.where(fixed, vals, 0.0)
+        apply_hi = lambda x: self.apply_K(x) * free64
+        rhs64 = (jnp.asarray(b, jnp.float64)
+                 - self.apply_K(jnp.asarray(u_d, jnp.float64))) * free64
+
+        def solve_lo(r32):
+            u, r = mg.solve(r32, tol=1e-4, maxiter=120)
+            return u, r.iters
+
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+        u_dof = ref.x + jnp.asarray(u_d, jnp.float64)
+        return (u_dof[jnp.asarray(self.dof_map)],
+                cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm))
 
     def to_scipy(self):
         return assembly.assemble_scipy(np.asarray(self.Ke),
@@ -358,6 +410,21 @@ class ElasticitySimulator:
         fixed = jnp.asarray(self.dirichlet_mask)
         vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
         free = ~fixed
+
+        if operator in ("structured", "auto") and x0 is None:
+            if self._structured_eligible():
+                try:
+                    return self._solve_structured(b, fixed, vals, tol,
+                                                  maxiter)
+                except ValueError:
+                    if operator == "structured":
+                        raise   # explicitly requested, mesh isn't a grid
+                    # auto: not a Kuhn grid — fall through to routed / EBE
+            elif operator == "structured":
+                raise ValueError(
+                    "structured solve requires a 3D P2 mesh with uniform "
+                    "material, identity dof map, some Dirichlet "
+                    "constraint and no rigid-mode projection")
 
         if (operator == "routed"
                 or (operator == "auto" and x0 is None

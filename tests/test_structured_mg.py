@@ -146,6 +146,41 @@ def test_mg_splu_coarse_fallback():
     assert err < 1e-8
 
 
+def test_simulator_auto_picks_mg_on_grids():
+    """ElasticitySimulator.solve(operator='auto') routes Kuhn grids to
+    the MG path; non-grids fall back; operator='structured' on a
+    non-grid raises."""
+    from meshfem_tpu.physics import ElasticitySimulator, Material
+
+    V, T = generators.grid_tet(8, 8, 8)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
+    X = np.asarray(mesh.node_positions)
+    sim.dirichlet_mask[X[:, 0] < 1e-9] = True
+    load = np.zeros((mesh.num_nodes, 3))
+    load[X[:, 0] > 1 - 1e-9, 1] = -0.01
+    sim.neumann_load = jnp.asarray(load)
+    u_mg, res_mg = sim.solve(tol=1e-10, operator="auto")
+    u_ebe, res_ebe = sim.solve(tol=1e-12, operator="ebe")
+    err = float(jnp.max(jnp.abs(u_mg - u_ebe))) \
+        / float(jnp.max(jnp.abs(u_ebe)))
+    assert err < 1e-8
+    assert int(res_mg.iters) * 5 < int(res_ebe.iters)
+
+    # a perturbed (non-grid) mesh: explicit structured raises; auto works
+    V2 = V.copy()
+    interior = ((V2 > 0.1) & (V2 < 0.9)).all(axis=1)
+    V2[interior] += 0.01
+    mesh2 = FEMMesh(V2, T, degree=2)
+    sim2 = ElasticitySimulator(mesh2, Material.isotropic(3, 200.0, 0.3))
+    sim2.dirichlet_mask[X[:, 0] < 1e-9] = True
+    sim2.neumann_load = jnp.asarray(load)
+    with pytest.raises(ValueError):
+        sim2.solve(operator="structured")
+    u2, _ = sim2.solve(tol=1e-10, operator="auto")
+    assert np.isfinite(np.asarray(u2)).all()
+
+
 def test_mg_dirichlet_values():
     """Inhomogeneous Dirichlet: stretched block reproduces the linear
     displacement field exactly (patch test)."""
