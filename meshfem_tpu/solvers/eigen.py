@@ -20,18 +20,59 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _rayleigh_ritz(S, KS, MS):
-    """Solve the projected pencil (S'KS, S'MS) -> ascending eigenpairs.
-    The [3k, 3k] Gram matrices are formed on DEVICE; only they cross to
-    host for the tiny dense generalized eigensolve."""
-    A = np.asarray(S.T @ KS)
-    B = np.asarray(S.T @ MS)
-    A = 0.5 * (A + A.T)
-    B = 0.5 * (B + B.T)
-    import scipy.linalg as sla
+def _proj(Zt, MZt, V):
+    """M-orthogonal deflation projector (no-op for 0-column bases)."""
+    return V - Zt @ (MZt.T @ V)
 
-    w, v = sla.eigh(A, B)
-    return w, v
+
+def _ops_are_pytrees(*ops):
+    """True when every operator flattens to array leaves (registered
+    pytree callables like EBEKernel) — safe to pass as jit arguments."""
+    import jax
+
+    for op in ops:
+        leaves = jax.tree_util.tree_leaves(op)
+        if any(not hasattr(l, "shape") for l in leaves):
+            return False
+    return True
+
+
+def _impl_ortho_gram(M_op, V):
+    MV = M_op(V)
+    G = V.T @ MV
+    return 0.5 * (G + G.T)
+
+
+def _impl_apply_gram(K_op, M_op, Zt, MZt, S, Ror):
+    S2 = _proj(Zt, MZt, S @ Ror)
+    KS = K_op(S2)
+    MS = M_op(S2)
+    A = S2.T @ KS
+    B = S2.T @ MS
+    return S2, 0.5 * (A + A.T), 0.5 * (B + B.T)
+
+
+def _impl_residuals(K_op, M_op, Zt, MZt, X):
+    KX = K_op(X)
+    MX = M_op(X)
+    gk = jnp.einsum("nm,nm->m", X, KX)
+    gm = jnp.einsum("nm,nm->m", X, MX)
+    theta = gk / gm
+    R = KX - MX * theta[None, :]
+    rn = jnp.linalg.norm(R, axis=0)
+    return theta, rn, _proj(Zt, MZt, R)
+
+
+def _jit(f):
+    import jax
+
+    return jax.jit(f)
+
+
+_stage_ortho_gram = _jit(_impl_ortho_gram)
+_stage_apply_gram = _jit(_impl_apply_gram)
+_stage_residuals = _jit(_impl_residuals)
+_stage_update = _jit(lambda Zt, MZt, S2, v: _proj(Zt, MZt, S2 @ v))
 
 
 def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
@@ -41,7 +82,16 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
     K_apply / M_apply: matrix-free multi-RHS operators on [N, m] blocks.
     X0: [N, m] initial block.  ``deflate``: optional [N, k] basis to project
     out (e.g. rigid modes — the 'known kernel Z' of ``Eigensolver.hh:25``).
-    Returns (lambdas [m], X [N, m], residual history)."""
+    Returns (lambdas [m], X [N, m], residual history).
+
+    Dispatch economy on relayed backends: each iteration's device work is
+    FUSED into four jitted calls (with the operators and deflation basis
+    as pytree arguments, so nothing is baked into the executables) — the
+    eager version issued ~15-20 individual device ops per iteration, each
+    paying a multi-ms relay round trip.  Only [3m, 3m] Grams and [m]
+    residual norms cross to the host, which does the tiny eigensolves."""
+    import jax
+
     X = jnp.asarray(X0)
     N, m = X.shape
 
@@ -56,58 +106,67 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
         R = Q_g / np.sqrt(np.maximum(w_g, 1e-300))[None, :]
         Zt = Z @ jnp.asarray(R)          # M-orthonormal kernel basis
         MZt = M_apply(Zt)
-
-        def project(V):
-            return V - Zt @ (MZt.T @ V)
     else:
-        def project(V):
-            return V
+        Zt = jnp.zeros((N, 0), X.dtype)
+        MZt = jnp.zeros((N, 0), X.dtype)
 
-    def m_orthonormalize(V):
-        """Rank-revealing M-orthonormalization: drops near-dependent columns
-        instead of amplifying them (amplification resurrects deflated kernel
+    def project(V):
+        return _proj(Zt, MZt, V)
+
+    if _ops_are_pytrees(K_apply, M_apply):
+        # module-level jitted stages, operators as pytree ARGUMENTS:
+        # the executables carry no baked operator arrays and are reused
+        # across lobpcg calls
+        sog = lambda V: _stage_ortho_gram(M_apply, V)
+        sag = lambda S, R: _stage_apply_gram(K_apply, M_apply, Zt, MZt,
+                                             S, R)
+        sres = lambda X: _stage_residuals(K_apply, M_apply, Zt, MZt, X)
+        supd = lambda S2, v: _stage_update(Zt, MZt, S2, v)
+    else:
+        # generic closures: jit per lobpcg call (operators captured)
+        sog = jax.jit(lambda V: _impl_ortho_gram(M_apply, V))
+        sag = jax.jit(lambda S, R: _impl_apply_gram(K_apply, M_apply, Zt,
+                                                    MZt, S, R))
+        sres = jax.jit(lambda X: _impl_residuals(K_apply, M_apply, Zt,
+                                                 MZt, X))
+        supd = jax.jit(lambda S2, v: _proj(Zt, MZt, S2 @ v))
+
+    def m_orthonormalize_factor(V):
+        """Host factor of the rank-revealing M-orthonormalization: returns
+        the [k, k'] mixing matrix (dropping near-dependent columns instead
+        of amplifying them — amplification resurrects deflated kernel
         components from roundoff)."""
-        MV = M_apply(V)
-        G = np.asarray(V.T @ MV)
-        G = 0.5 * (G + G.T)
+        G = np.asarray(sog(V))
         w, Q = np.linalg.eigh(G)
         keep = w > 1e-10 * max(w.max(), 1e-300)
-        R = Q[:, keep] / np.sqrt(w[keep])[None, :]
-        return V @ jnp.asarray(R)
+        return jnp.asarray(Q[:, keep] / np.sqrt(w[keep])[None, :])
 
-    X = m_orthonormalize(project(X))
+    import scipy.linalg as sla
+
+    Xp = project(X)
+    X = supd(Xp, m_orthonormalize_factor(Xp))
     X_prev = None
     history = []
     lam = None
     for it in range(maxiter):
-        KX = K_apply(X)
-        MX = M_apply(X)
-        G_k = np.asarray(X.T @ KX)
-        G_m = np.asarray(X.T @ MX)
-        theta = np.diag(G_k) / np.diag(G_m)
-        R = KX - MX * jnp.asarray(theta)[None, :]
-        rn = np.asarray(jnp.linalg.norm(R, axis=0)) / np.maximum(
-            np.abs(theta), 1e-30)
+        theta_d, rn_d, Rp = sres(X)
+        theta = np.asarray(theta_d)
+        rn = np.asarray(rn_d) / np.maximum(np.abs(theta), 1e-30)
         history.append(rn.copy())
         lam = theta
         if np.all(rn < tol):
             break
-        blocks = [X, project(R)] + ([X_prev] if X_prev is not None else [])
+        blocks = [X, Rp] + ([X_prev] if X_prev is not None else [])
         S = jnp.concatenate(blocks, axis=1)
-        # Project LAST so kernel components cannot survive the
-        # orthonormalization's column mixing.
-        S = project(m_orthonormalize(project(S)))
-        KS = K_apply(S)
-        MS = M_apply(S)
-        w, v = _rayleigh_ritz(S, KS, MS)
+        Ror = m_orthonormalize_factor(S)
+        S2, A, B = sag(S, Ror)
+        w, v = sla.eigh(np.asarray(A), np.asarray(B))
         k = min(m, v.shape[1])
         X_prev = X
-        X = project(S @ jnp.asarray(v[:, :k]))
+        X = supd(S2, jnp.asarray(v[:, :k]))
         lam = w[:k]
     # Final Rayleigh quotients for the returned block (consistent pairing).
-    KX = K_apply(X)
-    MX = M_apply(X)
-    theta = np.diag(np.asarray(X.T @ KX)) / np.diag(np.asarray(X.T @ MX))
+    theta = np.asarray(sres(X)[0])
     order = np.argsort(theta)
     return theta[order], X[:, jnp.asarray(order)], history
 
