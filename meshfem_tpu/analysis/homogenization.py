@@ -206,14 +206,19 @@ def probe(sim: ElasticitySimulator, w, macro_strain_flat):
 
 def homogenize(mesh: FEMMesh, material, orthotropic_cell: bool = False,
                tol: float = 1e-11, center_fluctuations: bool = True,
-               base_cell_volume: float | None = None) -> HomogenizationResult:
+               base_cell_volume: float | None = None,
+               precond: str = "block") -> HomogenizationResult:
     """One-call homogenization (python binding ``homogenize``,
-    ``periodic_homogenization.cc:37-90``)."""
+    ``periodic_homogenization.cc:37-90``).  ``precond`` as in
+    :func:`solve_cell_problems` ('jacobi'|'block'|'chebyshev'|'twolevel'|
+    'twolevel-mult'; the orthotropic path supports 'jacobi'|'twolevel')."""
     if orthotropic_cell:
-        return homogenize_orthotropic(mesh, material, tol=tol,
-                                      base_cell_volume=base_cell_volume)
+        return homogenize_orthotropic(
+            mesh, material, tol=tol, base_cell_volume=base_cell_volume,
+            precond=("twolevel" if precond.startswith("twolevel")
+                     else "jacobi"))
     sim = periodic_simulator(mesh, material)
-    w, iters = solve_cell_problems(sim, tol=tol)
+    w, iters = solve_cell_problems(sim, tol=tol, precond=precond)
     if center_fluctuations:
         w = w - jnp.mean(w, axis=1, keepdims=True)
     Ch = homogenized_tensor_stress_form(sim, w, base_cell_volume)
@@ -257,7 +262,8 @@ def _ortho_fixed_masks(mesh: FEMMesh, eps: float = 1e-7):
 
 
 def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
-                           base_cell_volume: float | None = None
+                           base_cell_volume: float | None = None,
+                           precond: str = "jacobi"
                            ) -> HomogenizationResult:
     """Homogenize using an orthotropic base cell (1/4 or 1/8 of the period
     cell): per-face normal pinning replaces periodicity, and the full-cell
@@ -274,6 +280,25 @@ def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
 
     diag = sim.K_diagonal()
     safe = jnp.where(diag > 0, diag, 1.0)
+    if precond == "twolevel":
+        # the probes pin different faces per column; the coarse matrix is
+        # masked with the UNION of all pins (intersection of free masks),
+        # so its solve is well-posed (no regularized near-nullspace to
+        # amplify) and every correction lies inside each column's
+        # constrained subspace after the outer projector — B stays SPD
+        # there, just slightly weaker at the pinned faces than per-column
+        # factorizations would be
+        from ..solvers.twolevel import TwoLevel
+
+        free_all = jnp.ones((sim.num_dofs, dim), bool)
+        for i in range(fl):
+            m = stretch_mask if i < dim else shear_masks[i - dim]
+            free_all = free_all & jnp.asarray(~m)
+        tl = TwoLevel.from_simulator(sim, mode="additive",
+                                     free_mask=free_all)
+        M_inv = tl.M_inv
+    else:
+        M_inv = lambda r: r / safe[..., None]
 
     # ONE block CG over all fl probes with a per-column mask projector
     # (each probe pins different faces, but projection is elementwise, so
@@ -284,7 +309,6 @@ def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
         [jnp.asarray(~(stretch_mask if i < dim else shear_masks[i - dim]),
                      sim.Ke.dtype) for i in range(fl)], axis=-1)
     project = lambda v: v * free_cols
-    M_inv = lambda r: r / safe[..., None]
     B = jnp.stack([sim.constant_strain_load(
         -canonical_strain(dim, i, sim.Ke.dtype)) for i in range(fl)],
         axis=-1)
