@@ -22,6 +22,11 @@ def main(argv=None):
     ap.add_argument("-d", "--degree", type=int, default=2)
     ap.add_argument("--orthotropicCell", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-11)
+    ap.add_argument("--precond", default="block",
+                    choices=["jacobi", "block", "chebyshev", "twolevel",
+                             "twolevel-mult"],
+                    help="cell-problem preconditioner (twolevel = "
+                         "P1-coarse two-level, the high-contrast choice)")
     ap.add_argument("-o", "--outputMSH", default=None,
                     help="write fluctuation displacement/strain fields")
     args = ap.parse_args(argv)
@@ -39,7 +44,7 @@ def main(argv=None):
     mesh = FEMMesh(V, F, degree=args.degree)
     mat = load_material(args.material)
     res = homogenize(mesh, mat, orthotropic_cell=args.orthotropicCell,
-                     tol=args.tol)
+                     tol=args.tol, precond=args.precond)
     Ch = np.asarray(res.Ch)
     print("Homogenized elasticity tensor:")
     for row in Ch:

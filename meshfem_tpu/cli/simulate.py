@@ -23,6 +23,13 @@ def main(argv=None):
     ap.add_argument("-o", "--outputMSH", default=None)
     ap.add_argument("-d", "--degree", type=int, default=2)
     ap.add_argument("--tol", type=float, default=1e-11)
+    ap.add_argument("--precond", default="jacobi",
+                    choices=["jacobi", "block", "chebyshev", "twolevel",
+                             "twolevel-mult"])
+    ap.add_argument("--operator", default="auto",
+                    choices=["auto", "structured", "routed", "ebe"],
+                    help="auto picks structured multigrid on Kuhn grids, "
+                         "routed SpMV on large meshes (TPU), EBE otherwise")
     ap.add_argument("--dumpMatrix", default=None,
                     help="write assembled stiffness triplets (text)")
     args = ap.parse_args(argv)
@@ -48,7 +55,8 @@ def main(argv=None):
             for i, j, v in zip(A.row, A.col, A.data):
                 f.write(f"{i} {j} {v:.17g}\n")
 
-    u, res = sim.solve(tol=args.tol)
+    u, res = sim.solve(tol=args.tol, precond=args.precond,
+                       operator=args.operator)
     print(f"solved: {int(res.iters)} CG iterations, "
           f"residual {float(res.resnorm):.3e}")
     strain = sim.average_strain_field(u)
