@@ -167,6 +167,158 @@ void morton_codes(const uint64_t* q, int64_t n, int32_t d, int32_t bits,
 #include <unordered_map>
 #include <vector>
 
+// ---------------------------------------------------------------------------
+// Robust geometric predicates (Shewchuk-style): a floating-point filter
+// with a conservative forward error bound, falling back to EXACT sign
+// evaluation via nonoverlapping floating-point expansions (two_sum /
+// two_prod / scale / merge — Shewchuk 1997).  The expansion path only
+// fires on (near-)degenerate inputs, e.g. exactly cocircular grid
+// points, which corrupted the f.p.-only CDT before.
+// ---------------------------------------------------------------------------
+namespace robust {
+
+typedef std::vector<double> E;  // expansion: increasing-magnitude order
+
+static inline void two_sum(double a, double b, double& x, double& y) {
+    x = a + b;
+    double bv = x - a;
+    y = (a - (x - bv)) + (b - bv);
+}
+
+static inline void two_diff(double a, double b, double& x, double& y) {
+    x = a - b;
+    double bv = a - x;
+    y = (a - (x + bv)) + (bv - b);
+}
+
+static inline void two_prod(double a, double b, double& x, double& y) {
+    x = a * b;
+    y = std::fma(a, b, -x);
+}
+
+// grow-by-one + zero elimination: e + b
+static inline void grow(E& h, const E& e, double b) {
+    h.clear();
+    double q = b;
+    for (double ei : e) {
+        double qn, r;
+        two_sum(q, ei, qn, r);
+        if (r != 0.0) h.push_back(r);
+        q = qn;
+    }
+    if (q != 0.0 || h.empty()) h.push_back(q);
+}
+
+static inline E add(const E& e, const E& f) {
+    E h = e;
+    E t;
+    for (double fi : f) {
+        grow(t, h, fi);
+        h.swap(t);
+    }
+    return h;
+}
+
+static inline E scale(const E& e, double b) {
+    // scale_expansion_zeroelim
+    E h;
+    if (e.empty()) return h;
+    double q, hh;
+    two_prod(e[0], b, q, hh);
+    if (hh != 0.0) h.push_back(hh);
+    for (size_t i = 1; i < e.size(); ++i) {
+        double t1, t0;
+        two_prod(e[i], b, t1, t0);
+        double q2, r;
+        two_sum(q, t0, q2, r);
+        if (r != 0.0) h.push_back(r);
+        double q3;
+        two_sum(t1, q2, q3, r);
+        if (r != 0.0) h.push_back(r);
+        q = q3;
+    }
+    if (q != 0.0 || h.empty()) h.push_back(q);
+    return h;
+}
+
+static inline E neg(E e) {
+    for (double& x : e) x = -x;
+    return e;
+}
+
+static inline E mul(const E& e, const E& f) {
+    E acc;
+    for (double fi : f) acc = add(acc, scale(e, fi));
+    return acc;
+}
+
+static inline int esign(const E& e) {
+    for (size_t i = e.size(); i-- > 0;) {
+        if (e[i] > 0.0) return 1;
+        if (e[i] < 0.0) return -1;
+    }
+    return 0;
+}
+
+static inline E from_diff(double a, double b) {
+    double x, y;
+    two_diff(a, b, x, y);
+    E e;
+    if (y != 0.0) e.push_back(y);
+    e.push_back(x);
+    return e;
+}
+
+static const double EPS = 1.1102230246251565e-16;  // 2^-53
+
+static inline int orient2d_sign(double ax, double ay, double bx, double by,
+                                double cx, double cy) {
+    double l = (bx - ax) * (cy - ay);
+    double r = (by - ay) * (cx - ax);
+    double det = l - r;
+    double detsum = std::fabs(l) + std::fabs(r);
+    if (std::fabs(det) > 8.0 * EPS * detsum)
+        return det > 0 ? 1 : -1;
+    // exact
+    E d = add(mul(from_diff(bx, ax), from_diff(cy, ay)),
+              neg(mul(from_diff(by, ay), from_diff(cx, ax))));
+    return esign(d);
+}
+
+static inline int incircle_sign(double ax, double ay, double bx, double by,
+                                double cx, double cy, double dx, double dy) {
+    double adx = ax - dx, ady = ay - dy;
+    double bdx = bx - dx, bdy = by - dy;
+    double cdx = cx - dx, cdy = cy - dy;
+    double alift = adx * adx + ady * ady;
+    double blift = bdx * bdx + bdy * bdy;
+    double clift = cdx * cdx + cdy * cdy;
+    double bc = bdx * cdy - bdy * cdx;
+    double ca = cdx * ady - cdy * adx;
+    double ab = adx * bdy - ady * bdx;
+    double det = alift * bc + blift * ca + clift * ab;
+    double permanent =
+        alift * (std::fabs(bdx * cdy) + std::fabs(bdy * cdx))
+        + blift * (std::fabs(cdx * ady) + std::fabs(cdy * adx))
+        + clift * (std::fabs(adx * bdy) + std::fabs(ady * bdx));
+    if (std::fabs(det) > 32.0 * EPS * permanent)
+        return det > 0 ? 1 : -1;
+    // exact via expansions (entries are exact 2-term differences)
+    E eadx = from_diff(ax, dx), eady = from_diff(ay, dy);
+    E ebdx = from_diff(bx, dx), ebdy = from_diff(by, dy);
+    E ecdx = from_diff(cx, dx), ecdy = from_diff(cy, dy);
+    E ea = add(mul(eadx, eadx), mul(eady, eady));
+    E eb = add(mul(ebdx, ebdx), mul(ebdy, ebdy));
+    E ec = add(mul(ecdx, ecdx), mul(ecdy, ecdy));
+    E ebc = add(mul(ebdx, ecdy), neg(mul(ebdy, ecdx)));
+    E eca = add(mul(ecdx, eady), neg(mul(ecdy, eadx)));
+    E eab = add(mul(eadx, ebdy), neg(mul(eady, ebdx)));
+    E d = add(add(mul(ea, ebc), mul(eb, eca)), mul(ec, eab));
+    return esign(d);
+}
+
+}  // namespace robust
+
 namespace ruppert {
 
 struct P2 { double x, y; };
@@ -175,16 +327,16 @@ static inline double orient(const P2& a, const P2& b, const P2& c) {
     return (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x);
 }
 
+static inline int orient_sign(const P2& a, const P2& b, const P2& c) {
+    return robust::orient2d_sign(a.x, a.y, b.x, b.y, c.x, c.y);
+}
+
 static inline bool in_circle(const P2& a, const P2& b, const P2& c,
                              const P2& d) {
-    // positive when d is inside the circumcircle of ccw (a, b, c)
-    double ax = a.x - d.x, ay = a.y - d.y;
-    double bx = b.x - d.x, by = b.y - d.y;
-    double cx = c.x - d.x, cy = c.y - d.y;
-    double det = (ax * ax + ay * ay) * (bx * cy - by * cx)
-               - (bx * bx + by * by) * (ax * cy - ay * cx)
-               + (cx * cx + cy * cy) * (ax * by - ay * bx);
-    return det > 0;
+    // positive when d is STRICTLY inside the circumcircle of ccw (a, b, c);
+    // exact on degenerate (cocircular) inputs
+    return robust::incircle_sign(a.x, a.y, b.x, b.y, c.x, c.y,
+                                 d.x, d.y) > 0;
 }
 
 struct Tri {
@@ -215,7 +367,7 @@ struct CDT {
             for (int i = 0; i < 3; ++i) {
                 const P2& a = pts[T.v[(i + 1) % 3]];
                 const P2& b = pts[T.v[(i + 2) % 3]];
-                if (orient(a, b, p) < 0) { next = T.adj[i]; break; }
+                if (orient_sign(a, b, p) < 0) { next = T.adj[i]; break; }
             }
             if (next < 0) return t;
             t = next;
@@ -225,8 +377,8 @@ struct CDT {
             const Tri& T = tris[i];
             bool ok = true;
             for (int k = 0; k < 3; ++k)
-                if (orient(pts[T.v[(k + 1) % 3]], pts[T.v[(k + 2) % 3]], p)
-                    < -1e-12)
+                if (orient_sign(pts[T.v[(k + 1) % 3]],
+                                pts[T.v[(k + 2) % 3]], p) < 0)
                     ok = false;
             if (ok) return i;
         }
@@ -263,7 +415,7 @@ struct CDT {
                 if (constrained.count(key(ea, eb))) continue;
                 const Tri& N = tris[n];
                 P2 a = pts[N.v[0]], b = pts[N.v[1]], c = pts[N.v[2]];
-                if (orient(a, b, c) <= 0) std::swap(b, c);
+                if (orient_sign(a, b, c) <= 0) std::swap(b, c);
                 if (in_circle(a, b, c, p)) {
                     in_cav.insert(n);
                     q.push(n);
@@ -288,7 +440,7 @@ struct CDT {
         for (const BEdge& e : bnd) {
             Tri nt;
             nt.v[0] = vp; nt.v[1] = e.a; nt.v[2] = e.b;
-            if (orient(pts[nt.v[0]], pts[nt.v[1]], pts[nt.v[2]]) < 0)
+            if (orient_sign(pts[nt.v[0]], pts[nt.v[1]], pts[nt.v[2]]) < 0)
                 std::swap(nt.v[1], nt.v[2]);
             nt.adj[0] = e.outside;   // opposite vp = the old outside tri
             nt.adj[1] = nt.adj[2] = -1;
@@ -516,7 +668,8 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
                             + cdt.pts[T.v[2]].x) / 3,
                            (cdt.pts[T.v[0]].y + cdt.pts[T.v[1]].y
                             + cdt.pts[T.v[2]].y) / 3};
-                    inside[t] = orient(A, B, cen) > 0 ? r_pos : r_neg;
+                    inside[t] = orient_sign(A, B, cen) > 0 ? r_pos
+                                                           : r_neg;
                 } else {
                     inside[t] = r_uniform;
                 }
@@ -543,7 +696,7 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
                     if (n >= 0) ro = inside[n];
                 }
             }
-            if (orient(cdt.pts[a], cdt.pts[b], cdt.pts[ap]) > 0) {
+            if (orient_sign(cdt.pts[a], cdt.pts[b], cdt.pts[ap]) > 0) {
                 r_pos = rh; r_neg = ro;
             } else {
                 r_pos = ro; r_neg = rh;
@@ -664,7 +817,7 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
                 const Tri& N = cdt.tris[n];
                 P2 a = cdt.pts[N.v[0]], b = cdt.pts[N.v[1]],
                    c = cdt.pts[N.v[2]];
-                if (orient(a, b, c) <= 0) std::swap(b, c);
+                if (orient_sign(a, b, c) <= 0) std::swap(b, c);
                 if (in_circle(a, b, c, p)) {
                     in_cav.insert(n);
                     q2.push_back(n);
@@ -738,7 +891,7 @@ int triangulate_ruppert(const double* pts_in, int64_t n_pts,
         const P2& C = cdt.pts[T.v[2]];
         std::array<int64_t, 3> tv;
         for (int i = 0; i < 3; ++i) tv[i] = T.v[i];
-        if (orient(A, B, C) < 0) std::swap(tv[1], tv[2]);
+        if (orient_sign(A, B, C) < 0) std::swap(tv[1], tv[2]);
         out.push_back(tv);
     }
     // compact vertices
