@@ -115,10 +115,12 @@ def _hole_seed(poly):
 
 
 def _valid_triangulation(out, outline, holes, target_area):
-    """Output validity gate (the CDT's floating-point orient/in-circle
-    predicates are NOT exact; cocircular grid-like inputs can corrupt the
-    triangulation): non-empty, positive areas, total area matching the
-    polygon area minus holes, no oversized triangles."""
+    """Output validity gate: non-empty, positive areas, total area
+    matching the polygon area minus holes, no oversized triangles.  The
+    CDT's orient/in-circle predicates are exact (filtered expansion
+    arithmetic, ``hostcore.cpp`` namespace robust), so this is belt and
+    braces — kept because a failed gate falls back to the scipy path
+    instead of shipping a bad mesh."""
     if out is None:
         return False
     V, F = out

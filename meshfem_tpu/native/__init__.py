@@ -124,7 +124,12 @@ def triangulate_ruppert(points, segments, holes=None,
                         min_angle: float = 20.0, max_area: float = 0.0):
     """Quality constrained Delaunay triangulation with Ruppert refinement
     (native; parity with Triangle's quality/area modes, Triangulate.h:83).
-    Returns (V [n, 2], F [m, 3]) or None if the library is unavailable."""
+    Returns (V [n, 2], F [m, 3]) or None if the library is unavailable.
+
+    Hole semantics match Triangle's: enclosed regions are KEPT unless a
+    seed point inside them is passed via ``holes`` (regions are flood
+    fills bounded by constrained segments, seeded from the exterior and
+    the hole points)."""
     lib = get_lib()
     if lib is None:
         return None

@@ -144,6 +144,49 @@ def _cube_mesh_and_stiffness(h3, D):
     return slots, K_cube
 
 
+def validate_kuhn_grid(mesh: FEMMesh):
+    """Validate the structured hypothesis COMPLETELY (a near-grid
+    unstructured mesh must fail loudly, not silently mis-assemble):
+    vertex count, element count, vertices exactly on the inferred
+    lattice, and every tet a Kuhn path 000 -> 111 (nested corner bit
+    patterns — same vertex positions with flipped diagonals is a
+    different operator).  Returns (n3, h3); raises ValueError."""
+    if mesh.K != 3 or mesh.degree != 2:
+        raise ValueError("structured path supports P2 tets")
+    bb = mesh.bbox()
+    Vv = np.asarray(mesh.V)
+    n3 = tuple(len(np.unique(np.round(Vv[:, a], 9))) - 1
+               for a in range(3))
+    if min(n3) < 1:
+        raise ValueError("mesh is not a Kuhn-subdivided box grid "
+                         "(degenerate axis)")
+    h3 = tuple(float(bb.dimensions[a]) / n3[a] for a in range(3))
+    nv3 = np.asarray(n3)
+    if mesh.num_vertices != int(np.prod(nv3 + 1)) \
+            or mesh.num_elements != 6 * int(np.prod(nv3)):
+        raise ValueError("mesh is not a Kuhn-subdivided box grid "
+                         "(vertex/element count mismatch)")
+    q = (Vv - np.asarray(bb.min)) / np.asarray(h3)
+    qi = np.round(q)
+    if np.abs(q - qi).max() > 1e-6:
+        raise ValueError("mesh is not a Kuhn-subdivided box grid "
+                         "(vertices off the inferred lattice)")
+    tet_q = qi[np.asarray(mesh.F)].astype(np.int64)   # [E, 4, 3]
+    bits = tet_q - tet_q.min(axis=1, keepdims=True)
+    if bits.min() < 0 or bits.max() > 1:
+        raise ValueError("mesh is not a Kuhn-subdivided box grid "
+                         "(element spans more than one cell)")
+    pop = bits.sum(axis=2)                            # [E, 4]
+    order = np.argsort(pop, axis=1)
+    sb = np.take_along_axis(bits, order[:, :, None], axis=1)
+    nested = ((np.sort(pop, axis=1) == np.arange(4)[None, :]).all(axis=1)
+              & (sb[:, :-1] <= sb[:, 1:]).all(axis=(1, 2)))
+    if not nested.all():
+        raise ValueError("mesh is not a Kuhn-subdivided box grid "
+                         "(non-Kuhn tetrahedralization)")
+    return n3, h3
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class StructuredP2Elasticity:
@@ -165,44 +208,8 @@ class StructuredP2Elasticity:
     @classmethod
     def build(cls, mesh: FEMMesh, D, spacing: float | None = None,
               dtype=None) -> "StructuredP2Elasticity":
-        if mesh.K != 3 or mesh.degree != 2:
-            raise ValueError("structured path supports P2 tets")
+        n3, h3 = validate_kuhn_grid(mesh)
         bb = mesh.bbox()
-        # infer per-axis cell counts from distinct vertex coordinates
-        Vv = np.asarray(mesh.V)
-        n3 = tuple(len(np.unique(np.round(Vv[:, a], 9))) - 1
-                   for a in range(3))
-        h3 = tuple(float(bb.dimensions[a]) / n3[a] for a in range(3))
-        # validate the structured hypothesis COMPLETELY (a near-grid
-        # unstructured mesh must fail loudly, not silently mis-assemble):
-        # vertex count, element count, vertices exactly on the grid, and
-        # every tet a Kuhn path 000 -> 111 (nested corner bit patterns —
-        # same vertex positions with flipped diagonals is a different
-        # operator).
-        nv3 = np.asarray(n3)
-        if mesh.num_vertices != int(np.prod(nv3 + 1)) \
-                or mesh.num_elements != 6 * int(np.prod(nv3)):
-            raise ValueError("mesh is not a Kuhn-subdivided box grid "
-                             "(vertex/element count mismatch)")
-        q = (Vv - np.asarray(bb.min)) / np.asarray(h3)
-        qi = np.round(q)
-        if np.abs(q - qi).max() > 1e-6:
-            raise ValueError("mesh is not a Kuhn-subdivided box grid "
-                             "(vertices off the inferred lattice)")
-        tet_q = qi[np.asarray(mesh.F)].astype(np.int64)   # [E, 4, 3]
-        bits = tet_q - tet_q.min(axis=1, keepdims=True)
-        if bits.min() < 0 or bits.max() > 1:
-            raise ValueError("mesh is not a Kuhn-subdivided box grid "
-                             "(element spans more than one cell)")
-        pop = bits.sum(axis=2)                            # [E, 4]
-        order = np.argsort(pop, axis=1)
-        sb = np.take_along_axis(bits, order[:, :, None], axis=1)
-        nested = ((np.sort(pop, axis=1)
-                   == np.arange(4)[None, :]).all(axis=1)
-                  & (sb[:, :-1] <= sb[:, 1:]).all(axis=(1, 2)))
-        if not nested.all():
-            raise ValueError("mesh is not a Kuhn-subdivided box grid "
-                             "(non-Kuhn tetrahedralization)")
         slots, K_cube = _cube_mesh_and_stiffness(h3, jnp.asarray(D))
 
         # Conv kernel: rhs[dz+1, dy+1, dx+1, in=cb*3+j, out=ca*3+i]

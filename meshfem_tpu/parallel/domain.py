@@ -346,7 +346,8 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
         steps = [min(c, iters - k) for k in range(0, iters, c)]
 
     res2 = np.zeros(b.shape[-1])
-    prev = np.inf
+    best = np.inf
+    stall = 0
     for L in steps:
         fn = _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n,
                           use_block, L)
@@ -355,9 +356,18 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
         res2 = np.asarray(r2)
         if tol is not None:
             rel2 = float((res2 / b2).max())
-            if rel2 <= tol * tol or rel2 >= prev * 0.9999:
+            if rel2 <= tol * tol:
                 break
-            prev = rel2
+            # PCG residuals are non-monotone and can plateau transiently
+            # across a chunk; only two consecutive chunks without any
+            # improvement of the best-so-far mean roundoff-floor stall
+            if rel2 >= best * 0.999:
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+            best = min(best, rel2)
 
     us = state[0]
     u = dd.from_sharded(us)[..., :m]

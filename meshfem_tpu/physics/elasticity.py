@@ -89,6 +89,7 @@ class ElasticitySimulator:
                                        self.num_dofs, self.dim)
         self._routed = None           # built lazily (routed_kernel)
         self._mg = None               # (fixed-mask key, StructuredMG)
+        self._twolevel = {}           # (mode, mask key, ordered) -> TwoLevel
 
         # Boundary condition state.
         d = self.dim
@@ -132,6 +133,26 @@ class ElasticitySimulator:
             return False
         return self.mesh.num_elements >= int(
             os.environ.get("MESHFEM_ROUTED_MIN_E", "16384"))
+
+    def _twolevel_for(self, precond, free, node_order=None, project=None,
+                      apply_A=None):
+        """Cached TwoLevel build (host Galerkin + SuperLU factorize once
+        per (mode, Dirichlet mask, ordering); the projector/operator
+        closures are load-independent for a fixed mask)."""
+        from ..solvers.twolevel import TwoLevel
+
+        key = (precond, np.asarray(free).tobytes(), node_order is not None)
+        tl = self._twolevel.get(key)
+        if tl is None:
+            tl = TwoLevel.from_simulator(
+                self, mode=("multiplicative" if precond.endswith("mult")
+                            else "additive"),
+                free_mask=free, node_order=node_order,
+                project=project, apply_A=apply_A)
+            if len(self._twolevel) >= 4:
+                self._twolevel.pop(next(iter(self._twolevel)))
+            self._twolevel[key] = tl
+        return tl
 
     def _structured_eligible(self) -> bool:
         """Cheap pre-filter for the structured multigrid path (the full
@@ -179,7 +200,10 @@ class ElasticitySimulator:
             u, r = mg.solve(r32, tol=1e-4, maxiter=120)
             return u, r.iters
 
-        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+        x0_64 = None if x0 is None else proj_hi(
+            jnp.asarray(x0, jnp.float64) - jnp.asarray(u_d, jnp.float64))
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol,
+                                x0=x0_64)
         u_dof = ref.x + jnp.asarray(u_d, jnp.float64)
         return (u_dof[jnp.asarray(self.dof_map)],
                 cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm))
@@ -411,15 +435,29 @@ class ElasticitySimulator:
         vals = jnp.asarray(self.dirichlet_values, dtype=b.dtype)
         free = ~fixed
 
-        if operator in ("structured", "auto") and x0 is None:
-            if self._structured_eligible():
+        if operator in ("structured", "auto"):
+            if x0 is not None:
+                if operator == "structured":
+                    raise ValueError(
+                        "operator='structured' does not support x0 (the "
+                        "MG-PCG solve starts from zero); drop x0 or use "
+                        "operator='routed'/'ebe'")
+            elif self._structured_eligible():
+                # validate the Kuhn-grid hypothesis NARROWLY: only the
+                # validation may redirect an auto solve — a genuine defect
+                # inside the MG stack must surface, not silently reroute
+                from ..ops.structured import validate_kuhn_grid
+
                 try:
-                    return self._solve_structured(b, fixed, vals, tol,
-                                                  maxiter)
+                    validate_kuhn_grid(self.mesh)
+                    is_grid = True
                 except ValueError:
                     if operator == "structured":
                         raise   # explicitly requested, mesh isn't a grid
-                    # auto: not a Kuhn grid — fall through to routed / EBE
+                    is_grid = False
+                if is_grid:
+                    return self._solve_structured(b, fixed, vals, tol,
+                                                  maxiter)
             elif operator == "structured":
                 raise ValueError(
                     "structured solve requires a 3D P2 mesh with uniform "
@@ -430,7 +468,7 @@ class ElasticitySimulator:
                 or (operator == "auto" and x0 is None
                     and self._routed_auto())):
             return self._solve_routed(b, fixed, vals, tol, maxiter,
-                                      precond, chebyshev_degree)
+                                      precond, chebyshev_degree, x0=x0)
 
         if not self.no_rigid_motion and x0 is None and precond == "jacobi":
             # Fast path: fully jitted solve; operator arrays enter as
@@ -458,13 +496,10 @@ class ElasticitySimulator:
             M_inv = lambda r: r / safe
         elif precond in ("twolevel", "twolevel-mult"):
             # P1-coarse two-level (solvers/twolevel.py): high-contrast /
-            # ill-conditioned workhorse, bounded iteration counts
-            from ..solvers.twolevel import TwoLevel
-
-            tl = TwoLevel.from_simulator(
-                self, mode=("multiplicative" if precond.endswith("mult")
-                            else "additive"),
-                free_mask=free, project=project)
+            # ill-conditioned workhorse, bounded iteration counts.
+            # Cached: the host Galerkin assembly + SuperLU factorization
+            # depend only on (mode, Dirichlet mask), not the load.
+            tl = self._twolevel_for(precond, free, project=project)
             M_inv = tl.M_inv
         else:
             from ..solvers import precond as pc
@@ -491,7 +526,7 @@ class ElasticitySimulator:
         return u, res
 
     def _solve_routed(self, b, fixed, vals, tol, maxiter, precond,
-                      chebyshev_degree):
+                      chebyshev_degree, x0=None):
         """Routed-SpMV solve: f32 in-register CG (``sparse.routed_ebe``),
         wrapped in f64 iterative refinement (``solvers/refine``) when the
         requested tolerance is beyond f32 reach.  Replaces the role of the
@@ -512,13 +547,9 @@ class ElasticitySimulator:
             safe = jnp.where(diag_i > 0, diag_i, 1.0)
             M_inv = lambda r: r / safe
         elif precond in ("twolevel", "twolevel-mult"):
-            from ..solvers.twolevel import TwoLevel
-
             order = None if rk.order is None else np.asarray(rk.order)
-            tl = TwoLevel.from_simulator(
-                self, mode=("multiplicative" if precond.endswith("mult")
-                            else "additive"),
-                free_mask=free, node_order=order,
+            tl = self._twolevel_for(
+                precond, free, node_order=order,
                 project=lambda v: v * free_i.astype(v.dtype),
                 apply_A=(rk if precond.endswith("mult") else None))
             M_inv = tl.M_inv
@@ -558,13 +589,19 @@ class ElasticitySimulator:
                 Ap, M0, lmax, degree=chebyshev_degree, project=project)
 
         u_d = jnp.where(fixed, vals, 0.0)
+        x0_i = None
+        if x0 is not None:
+            # warm start: dof-space guess minus the Dirichlet lift, in
+            # the operator's internal ordering
+            x0_i = project(rk.permute_in(
+                jnp.asarray(x0, f32) - jnp.asarray(u_d, f32)))
         if b.dtype != jnp.float64 or tol >= 1e-5:
             # pure f32 solve (CG in internal order, one permute each way)
             b_i = rk.permute_in(jnp.asarray(b, f32))
             ud_i = rk.permute_in(jnp.asarray(u_d, f32))
             rhs = project(b_i - rk(ud_i))
-            res = cg_mod.cg(rk, rhs, M_inv=M_inv, project=project,
-                            tol=tol, maxiter=maxiter)
+            res = cg_mod.cg(rk, rhs, x0=x0_i, M_inv=M_inv,
+                            project=project, tol=tol, maxiter=maxiter)
             x = rk.permute_out(res.x + ud_i).astype(b.dtype)
             u = x[jnp.asarray(self.dof_map)]
             return u, cg_mod.CGResult(x, res.iters, res.resnorm)
@@ -588,7 +625,10 @@ class ElasticitySimulator:
                             tol=1e-4, maxiter=maxiter)
             return rk.permute_out(res.x), res.iters
 
-        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+        x0_64 = None if x0 is None else proj_hi(
+            jnp.asarray(x0, jnp.float64) - jnp.asarray(u_d, jnp.float64))
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol,
+                                x0=x0_64)
         u_dof = ref.x + jnp.asarray(u_d, jnp.float64)
         u = u_dof[jnp.asarray(self.dof_map)]
         return u, cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm)

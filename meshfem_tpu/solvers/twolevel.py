@@ -41,14 +41,7 @@ def p2_vertex_endpoints(mesh):
     themselves), valid for any ``node_order``."""
     if mesh.degree != 2:
         raise ValueError("two-level preconditioner requires a P2 mesh")
-    nv = mesh.num_vertices
-    ep_old = np.empty((mesh.num_nodes, 2), np.int64)
-    ep_old[:nv] = np.arange(nv)[:, None]
-    keys = mesh._edge_keys
-    ep_old[nv:] = np.stack([keys // nv, keys % nv], axis=-1)
-    ep_new = np.empty_like(ep_old)
-    ep_new[mesh.node_perm] = ep_old
-    return ep_new
+    return mesh.node_endpoint_vertices()
 
 
 class TwoLevel:

@@ -253,7 +253,10 @@ class CopyPlan:
             call = _copy_call(b.chain, b.pidx.shape[0], self.blk_rows,
                               self.src_rows, interpret)
             outs.append(call(b.blk, b.win, b.pidx, x2))
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        if not outs:  # all-padding map: nothing routed, all zeros
+            out = jnp.zeros((1, 8, 128), src_flat.dtype)
+        else:
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         out = out[self.restore]
         flat = out.reshape(-1)[: self.n_out]
         if self.fix_pos.shape[0]:
@@ -295,7 +298,10 @@ class ReducePlan:
             outs.append(
                 call(b.blk, b.init, b.obk, b.relw, b.win, b.pidx,
                      x2).reshape(b.n_blocks, YBLOCK, 128))
-        blocks = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        if not outs:  # all-padding map: nothing routed, all zeros
+            blocks = jnp.zeros((0, YBLOCK, 128), src_flat.dtype)
+        else:
+            blocks = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         zero = jnp.zeros((1, YBLOCK, 128), blocks.dtype)
         blocks = jnp.concatenate([blocks, zero])
         y = blocks[self.block_pos]                     # [NBL, YBLOCK, 128]

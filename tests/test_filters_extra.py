@@ -165,7 +165,10 @@ def test_native_ruppert_scales():
     assert out is not None
     V, F = out
     assert len(F) > 100000
-    assert dt < 30.0, f"{len(F)} tris took {dt:.1f}s"
+    # generous wall bound: measured 0.6-4 s; the point is
+    # catching a complexity regression (the old driver was
+    # O(T*V) per split — hours at this size), not timing CI
+    assert dt < 120.0, f"{len(F)} tris took {dt:.1f}s"
     X = V[F]
     a, b = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
     areas = 0.5 * (a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0])
