@@ -260,3 +260,18 @@ def test_simulator_routed_solve_matches_ebe(rng):
     u2, _ = sim.solve(tol=1e-10, operator="routed", precond="block")
     np.testing.assert_allclose(np.asarray(u2) / scale,
                                np.asarray(u0) / scale, atol=1e-8)
+
+
+def test_plans_handle_all_padding_maps():
+    """Zero-bucket plans (every id negative) return zeros instead of
+    crashing in jnp.concatenate."""
+    import jax.numpy as jnp
+
+    from meshfem_tpu.sparse.route import plan_copy, plan_reduce
+
+    p = plan_copy(np.full(2048, -1, np.int64), 128)
+    out = p(jnp.arange(128, dtype=jnp.float32), interpret=True)
+    assert out.shape == (2048,) and float(abs(out).max()) == 0.0
+    r = plan_reduce(np.full(2048, -1, np.int64), 256, 128)
+    out2 = r(jnp.arange(128, dtype=jnp.float32), interpret=True)
+    assert out2.shape == (256,) and float(abs(out2).max()) == 0.0

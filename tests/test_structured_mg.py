@@ -201,3 +201,20 @@ def test_mg_dirichlet_values():
                       fixed_values=jnp.asarray(vals))
     # uniaxial stretch of an isotropic block: u = (0.1x, -nu 0.1y, ...)
     np.testing.assert_allclose(np.asarray(u), vals, atol=5e-9)
+
+
+def test_mg_pure_neumann_pinv_coarse():
+    """No Dirichlet anywhere: the coarsest matrix is singular (rigid
+    modes) and build falls to the pseudo-inverse; the V-cycle stays
+    finite and SPD on rigid-mode-free residuals."""
+    V, T = generators.grid_tet(6, 6, 6)
+    mesh = FEMMesh(V, T, degree=2)
+    mg = StructuredMG.build(mesh, D)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)))
+    # remove translations (the dominant nullspace component)
+    r = r - r.mean(axis=0, keepdims=True)
+    rp = mg.fine.to_packed(r) * mg.free_packed
+    Br = mg.precondition(rp)
+    assert np.isfinite(np.asarray(Br)).all()
+    assert float(jnp.vdot(rp, Br)) > 0
