@@ -177,7 +177,10 @@ void morton_codes(const uint64_t* q, int64_t n, int32_t d, int32_t bits,
 // ---------------------------------------------------------------------------
 namespace robust {
 
-typedef std::vector<double> E;  // expansion: increasing-magnitude order
+// Expansions live in caller-provided stack buffers (double*, int len) —
+// the exact path fires on EVERY insertion of a regular refinement
+// pattern (cocircular configurations are generic there), so per-call
+// heap allocation dominated the first vector-based implementation.
 
 static inline void two_sum(double a, double b, double& x, double& y) {
     x = a + b;
@@ -196,77 +199,91 @@ static inline void two_prod(double a, double b, double& x, double& y) {
     y = std::fma(a, b, -x);
 }
 
-// grow-by-one + zero elimination: e + b
-static inline void grow(E& h, const E& e, double b) {
-    h.clear();
+// h = e + b (grow_expansion_zeroelim); h may NOT alias e
+static inline int grow(const double* e, int elen, double b, double* h) {
+    int n = 0;
     double q = b;
-    for (double ei : e) {
+    for (int i = 0; i < elen; ++i) {
         double qn, r;
-        two_sum(q, ei, qn, r);
-        if (r != 0.0) h.push_back(r);
+        two_sum(q, e[i], qn, r);
+        if (r != 0.0) h[n++] = r;
         q = qn;
     }
-    if (q != 0.0 || h.empty()) h.push_back(q);
+    if (q != 0.0 || n == 0) h[n++] = q;
+    return n;
 }
 
-static inline E add(const E& e, const E& f) {
-    E h = e;
-    E t;
-    for (double fi : f) {
-        grow(t, h, fi);
-        h.swap(t);
+// h = e + f; h may NOT alias e or f; scratch must hold elen + flen
+static inline int add(const double* e, int elen, const double* f, int flen,
+                      double* h, double* scratch) {
+    // ping-pong between h and scratch, growing one f component at a time
+    const double* cur = e;
+    int clen = elen;
+    double* a = scratch;
+    double* b = h;
+    for (int i = 0; i < flen; ++i) {
+        int n = grow(cur, clen, f[i], a);
+        cur = a;
+        clen = n;
+        std::swap(a, b);
     }
-    return h;
+    if (cur != h) std::memcpy(h, cur, clen * sizeof(double));
+    return clen;
 }
 
-static inline E scale(const E& e, double b) {
-    // scale_expansion_zeroelim
-    E h;
-    if (e.empty()) return h;
+// h = e * b (scale_expansion_zeroelim); h may NOT alias e
+static inline int scale(const double* e, int elen, double b, double* h) {
+    if (elen == 0) return 0;
+    int n = 0;
     double q, hh;
     two_prod(e[0], b, q, hh);
-    if (hh != 0.0) h.push_back(hh);
-    for (size_t i = 1; i < e.size(); ++i) {
+    if (hh != 0.0) h[n++] = hh;
+    for (int i = 1; i < elen; ++i) {
         double t1, t0;
         two_prod(e[i], b, t1, t0);
         double q2, r;
         two_sum(q, t0, q2, r);
-        if (r != 0.0) h.push_back(r);
+        if (r != 0.0) h[n++] = r;
         double q3;
         two_sum(t1, q2, q3, r);
-        if (r != 0.0) h.push_back(r);
+        if (r != 0.0) h[n++] = r;
         q = q3;
     }
-    if (q != 0.0 || h.empty()) h.push_back(q);
-    return h;
+    if (q != 0.0 || n == 0) h[n++] = q;
+    return n;
 }
 
-static inline E neg(E e) {
-    for (double& x : e) x = -x;
-    return e;
+// h = e * f; needs scratch of >= 2 * cap each
+template <int CAP>
+static inline int mul(const double* e, int elen, const double* f, int flen,
+                      double* h) {
+    double term[2 * CAP], acc[CAP], scratch[CAP];
+    int alen = 0;
+    for (int i = 0; i < flen; ++i) {
+        double sc[CAP];
+        int slen = scale(e, elen, f[i], sc);
+        alen = add(acc, alen, sc, slen, term, scratch);
+        std::memcpy(acc, term, alen * sizeof(double));
+    }
+    std::memcpy(h, acc, alen * sizeof(double));
+    return alen;
 }
 
-static inline E mul(const E& e, const E& f) {
-    E acc;
-    for (double fi : f) acc = add(acc, scale(e, fi));
-    return acc;
-}
-
-static inline int esign(const E& e) {
-    for (size_t i = e.size(); i-- > 0;) {
+static inline int esign(const double* e, int n) {
+    for (int i = n; i-- > 0;) {
         if (e[i] > 0.0) return 1;
         if (e[i] < 0.0) return -1;
     }
     return 0;
 }
 
-static inline E from_diff(double a, double b) {
+static inline int from_diff(double a, double b, double* e) {
     double x, y;
     two_diff(a, b, x, y);
-    E e;
-    if (y != 0.0) e.push_back(y);
-    e.push_back(x);
-    return e;
+    int n = 0;
+    if (y != 0.0) e[n++] = y;
+    e[n++] = x;
+    return n;
 }
 
 static const double EPS = 1.1102230246251565e-16;  // 2^-53
@@ -279,10 +296,15 @@ static inline int orient2d_sign(double ax, double ay, double bx, double by,
     double detsum = std::fabs(l) + std::fabs(r);
     if (std::fabs(det) > 8.0 * EPS * detsum)
         return det > 0 ? 1 : -1;
-    // exact
-    E d = add(mul(from_diff(bx, ax), from_diff(cy, ay)),
-              neg(mul(from_diff(by, ay), from_diff(cx, ax))));
-    return esign(d);
+    // exact: products of 2-term diffs are <= 8 terms, sum <= 16
+    double e1[2], e2[2], e3[2], e4[2], p1[8], p2[8], d[16], s[16];
+    int n1 = from_diff(bx, ax, e1), n2 = from_diff(cy, ay, e2);
+    int n3 = from_diff(by, ay, e3), n4 = from_diff(cx, ax, e4);
+    int m1 = mul<8>(e1, n1, e2, n2, p1);
+    int m2 = mul<8>(e3, n3, e4, n4, p2);
+    for (int i = 0; i < m2; ++i) p2[i] = -p2[i];
+    int dn = add(p1, m1, p2, m2, d, s);
+    return esign(d, dn);
 }
 
 static inline int incircle_sign(double ax, double ay, double bx, double by,
@@ -303,18 +325,55 @@ static inline int incircle_sign(double ax, double ay, double bx, double by,
         + clift * (std::fabs(adx * bdy) + std::fabs(ady * bdx));
     if (std::fabs(det) > 32.0 * EPS * permanent)
         return det > 0 ? 1 : -1;
-    // exact via expansions (entries are exact 2-term differences)
-    E eadx = from_diff(ax, dx), eady = from_diff(ay, dy);
-    E ebdx = from_diff(bx, dx), ebdy = from_diff(by, dy);
-    E ecdx = from_diff(cx, dx), ecdy = from_diff(cy, dy);
-    E ea = add(mul(eadx, eadx), mul(eady, eady));
-    E eb = add(mul(ebdx, ebdx), mul(ebdy, ebdy));
-    E ec = add(mul(ecdx, ecdx), mul(ecdy, ecdy));
-    E ebc = add(mul(ebdx, ecdy), neg(mul(ebdy, ecdx)));
-    E eca = add(mul(ecdx, eady), neg(mul(ecdy, eadx)));
-    E eab = add(mul(eadx, ebdy), neg(mul(eady, ebdx)));
-    E d = add(add(mul(ea, ebc), mul(eb, eca)), mul(ec, eab));
-    return esign(d);
+    // exact via expansions (entries are exact 2-term differences):
+    // lifts and 2x2 minors are <= 16 terms, lift*minor <= 512, total
+    // <= 1536 — all on the stack
+    double eadx[2], eady[2], ebdx[2], ebdy[2], ecdx[2], ecdy[2];
+    int nadx = from_diff(ax, dx, eadx), nady = from_diff(ay, dy, eady);
+    int nbdx = from_diff(bx, dx, ebdx), nbdy = from_diff(by, dy, ebdy);
+    int ncdx = from_diff(cx, dx, ecdx), ncdy = from_diff(cy, dy, ecdy);
+
+    double t1[8], t2[8], sc16[16];
+    double ea[16], eb[16], ec[16], ebc[16], eca[16], eab[16];
+    int n1, n2;
+
+    n1 = mul<8>(eadx, nadx, eadx, nadx, t1);
+    n2 = mul<8>(eady, nady, eady, nady, t2);
+    int nea = add(t1, n1, t2, n2, ea, sc16);
+    n1 = mul<8>(ebdx, nbdx, ebdx, nbdx, t1);
+    n2 = mul<8>(ebdy, nbdy, ebdy, nbdy, t2);
+    int neb = add(t1, n1, t2, n2, eb, sc16);
+    n1 = mul<8>(ecdx, ncdx, ecdx, ncdx, t1);
+    n2 = mul<8>(ecdy, ncdy, ecdy, ncdy, t2);
+    int nec = add(t1, n1, t2, n2, ec, sc16);
+
+    n1 = mul<8>(ebdx, nbdx, ecdy, ncdy, t1);
+    n2 = mul<8>(ebdy, nbdy, ecdx, ncdx, t2);
+    for (int i = 0; i < n2; ++i) t2[i] = -t2[i];
+    int nbc = add(t1, n1, t2, n2, ebc, sc16);
+    n1 = mul<8>(ecdx, ncdx, eady, nady, t1);
+    n2 = mul<8>(ecdy, ncdy, eadx, nadx, t2);
+    for (int i = 0; i < n2; ++i) t2[i] = -t2[i];
+    int nca = add(t1, n1, t2, n2, eca, sc16);
+    n1 = mul<8>(eadx, nadx, ebdy, nbdy, t1);
+    n2 = mul<8>(eady, nady, ebdx, nbdx, t2);
+    for (int i = 0; i < n2; ++i) t2[i] = -t2[i];
+    int nab = add(t1, n1, t2, n2, eab, sc16);
+
+    // lift*minor <= 512 terms each; pairwise sums <= 1024 / 1536
+    static thread_local std::vector<double> big(3 * 600 + 3 * 1600);
+    double* pa = big.data();
+    double* pb = big.data() + 600;
+    double* pc = big.data() + 1200;
+    double* s1 = big.data() + 1800;
+    double* s2 = big.data() + 3400;
+    double* sc = big.data() + 5000;
+    int na = mul<600>(ea, nea, ebc, nbc, pa);
+    int nb = mul<600>(eb, neb, eca, nca, pb);
+    int nc = mul<600>(ec, nec, eab, nab, pc);
+    int ns = add(pa, na, pb, nb, s1, sc);
+    int nd = add(s1, ns, pc, nc, s2, sc);
+    return esign(s2, nd);
 }
 
 }  // namespace robust
