@@ -84,7 +84,11 @@ class P1Level:
         cell = jnp.concatenate(
             [v[bx:bx + nx, by:by + ny, bz:bz + nz]
              for bx, by, bz in _CHANNEL_BITS], axis=-1)      # [nx,ny,nz,24]
-        f = jnp.einsum("xyzj,ij->xyzi", cell, self.Kc.astype(v.dtype))
+        if self.Kc.ndim == 2:          # uniform material: one [24, 24]
+            f = jnp.einsum("xyzj,ij->xyzi", cell, self.Kc.astype(v.dtype))
+        else:                          # per-cell [nx, ny, nz, 24, 24]
+            f = jnp.einsum("xyzj,xyzij->xyzi", cell,
+                           self.Kc.astype(v.dtype))
         y = jnp.zeros_like(v)
         for i, (bx, by, bz) in enumerate(_CHANNEL_BITS):
             y = y.at[bx:bx + nx, by:by + ny, bz:bz + nz].add(
@@ -100,12 +104,17 @@ class P1Level:
 
 
 def _p1_diag(n3, Kc):
-    """Assembled diagonal of the P1 grid operator (host, f64)."""
+    """Assembled diagonal of the P1 grid operator (host, f64); Kc either
+    one [24, 24] or per-cell [nx, ny, nz, 24, 24]."""
     nx, ny, nz = n3
     d = np.zeros((nx + 1, ny + 1, nz + 1, 3))
-    kd = np.diagonal(np.asarray(Kc)).reshape(8, 3)
+    Kc = np.asarray(Kc)
+    kd = np.diagonal(Kc, axis1=-2, axis2=-1)
+    if Kc.ndim == 2:
+        kd = np.broadcast_to(kd, (nx, ny, nz, 24))
+    kd = kd.reshape(nx, ny, nz, 8, 3)
     for i, (bx, by, bz) in enumerate(_CHANNEL_BITS):
-        d[bx:bx + nx, by:by + ny, bz:bz + nz] += kd[i]
+        d[bx:bx + nx, by:by + ny, bz:bz + nz] += kd[..., i, :]
     return d
 
 
@@ -114,9 +123,13 @@ def _p1_gershgorin(lvl: "P1Level") -> float:
     (abs row sums assembled per cell, exact on the host)."""
     nx, ny, nz = lvl.n3
     rs = np.zeros((nx + 1, ny + 1, nz + 1, 3))
-    ka = np.abs(np.asarray(lvl.Kc, np.float64)).sum(axis=1).reshape(8, 3)
+    Kc = np.asarray(lvl.Kc, np.float64)
+    ka = np.abs(Kc).sum(axis=-1)
+    if Kc.ndim == 2:
+        ka = np.broadcast_to(ka, (nx, ny, nz, 24))
+    ka = ka.reshape(nx, ny, nz, 8, 3)
     for i, (bx, by, bz) in enumerate(_CHANNEL_BITS):
-        rs[bx:bx + nx, by:by + ny, bz:bz + nz] += ka[i]
+        rs[bx:bx + nx, by:by + ny, bz:bz + nz] += ka[..., i, :]
     diag = np.asarray(lvl.diag, np.float64)
     return float((rs / np.maximum(diag, 1e-30)).max()) * 1.02
 
@@ -535,6 +548,266 @@ def _mg_pcg(mg, bc, u_d, tol, maxiter):
         if u_d is not None:
             bc = bc - mg.fine.apply_packed(u_d)
         res = cg_mod.cg(mg.fine.apply_packed, bc, M_inv=mg.precondition,
+                        project=lambda v: v * mask, tol=tol,
+                        maxiter=maxiter)
+        x = res.x if u_d is None else res.x + u_d
+        return x, res.iters, res.resnorm
+
+
+# ---------------------------------------------------------------------------
+# Variable-material hierarchy (per-element D — ops/structured_var.py fine
+# level).  Nesting is material-independent, so exact Galerkin coarse
+# operators exist at every level as per-cell [24, 24] P1 matrices:
+# the finest P1 level assembles them per-tet, h-coarsening reduces 8 fine
+# cells through fixed interpolation matrices T_s (the Kuhn midpoint rule).
+# ---------------------------------------------------------------------------
+
+def _p1_cell_matrices_var(mesh, D_elems):
+    """[nx, ny, nz, 24, 24] per-cell P1 stiffness from per-tet materials
+    (exact Galerkin restriction of the P2 operator)."""
+    from .structured import validate_kuhn_grid
+
+    n3, h3 = validate_kuhn_grid(mesh)
+    nx, ny, nz = n3
+    g = mesh.geometry()
+    from . import element_matrices as em
+
+    Ke1 = np.asarray(em.element_elasticity(
+        g.grad_lambda, g.volume, jnp.asarray(D_elems), 1))  # [E, 12, 12]
+    ncells = len(Ke1) // 6
+    # cube-local vertex one-hot from the reference cell
+    V1, T1 = generators.grid_tet(1, 1, 1, hi=tuple(h3))
+    m1 = FEMMesh(V1, T1, degree=1)
+    q = np.round(np.asarray(m1.node_positions)
+                 / np.asarray(h3)).astype(int)
+    vid = np.asarray([_CHANNEL_BITS.index(tuple(b)) for b in q])
+    hot = np.zeros((6, 4, 8))
+    for t in range(6):
+        for a in range(4):
+            hot[t, a, vid[m1.elem_nodes[t, a]]] = 1.0
+    Kt = Ke1.reshape(ncells, 6, 4, 3, 4, 3)
+    Kc = np.einsum("tak,tbl,xtaibj->xkilj", hot, hot, Kt)
+    return Kc.reshape(nx, ny, nz, 24, 24)
+
+
+def _h_reduction_matrices():
+    """[8, 24, 24] T_s: coarse cell corner values -> fine subcell s corner
+    values (Kuhn midpoint rule), s in _CHANNEL_BITS order."""
+    Ts = np.zeros((8, 8, 8))
+    for si, s in enumerate(_CHANNEL_BITS):
+        for gi, gbits in enumerate(_CHANNEL_BITS):
+            p = (np.asarray(s) + np.asarray(gbits)) / 2.0
+            u = np.floor(p).astype(int)
+            v = np.ceil(p).astype(int)
+            Ts[si, gi, _CHANNEL_BITS.index(tuple(u))] += 0.5
+            Ts[si, gi, _CHANNEL_BITS.index(tuple(v))] += 0.5
+    T24 = np.einsum("sfc,ij->sficj", Ts, np.eye(3)).reshape(8, 24, 24)
+    return T24
+
+
+def _coarsen_cell_matrices(Kc_f):
+    """Per-cell P1 matrices on grid n -> exact Galerkin per-cell matrices
+    on grid n/2 (sum over the 8 subcells of T_s^T K T_s)."""
+    nx, ny, nz = Kc_f.shape[:3]
+    T24 = _h_reduction_matrices()
+    Kc = np.zeros((nx // 2, ny // 2, nz // 2, 24, 24))
+    for si, s in enumerate(_CHANNEL_BITS):
+        sub = Kc_f[s[0]::2, s[1]::2, s[2]::2]
+        Kc += np.einsum("fi,xyzfg,gj->xyzij", T24[si], sub, T24[si])
+    return Kc
+
+
+def _coarse_matrix_from_cells(Kc, mask):
+    """Scipy CSR of the masked coarsest operator from per-cell [24, 24]
+    matrices, in GRID vertex order; plus the identity permutation (the
+    assembly is already grid-ordered)."""
+    import scipy.sparse as sp
+
+    nx, ny, nz = Kc.shape[:3]
+    mx, my, mz = nx + 1, ny + 1, nz + 1
+    cells = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij"),
+                     axis=-1).reshape(-1, 3)
+    # global vertex id of cube corner k for each cell
+    corners = np.asarray(_CHANNEL_BITS)
+    gid = ((cells[:, None, 0] + corners[None, :, 0]) * my
+           + (cells[:, None, 1] + corners[None, :, 1])) * mz \
+        + (cells[:, None, 2] + corners[None, :, 2])          # [nc, 8]
+    dof = (gid[:, :, None] * 3 + np.arange(3)).reshape(-1, 24)
+    rows = np.repeat(dof, 24, axis=1).reshape(-1)
+    cols = np.tile(dof, (1, 24)).reshape(-1)
+    vals = np.asarray(Kc, np.float64).reshape(-1)
+    N = mx * my * mz * 3
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()
+    m = np.asarray(mask, np.float64).reshape(-1)
+    M = sp.diags(m)
+    return (M @ A @ M + sp.diags(1.0 - m)).tocsr(), np.arange(N)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class VarStructuredMG:
+    """V-cycle preconditioner + solver for PER-ELEMENT materials on Kuhn
+    grids (fine level = ``ops/structured_var.StructuredVarP2Elasticity``,
+    channel-space vectors; every coarse level carries exact-Galerkin
+    per-cell [24, 24] matrices)."""
+
+    fine: object                   # StructuredVarP2Elasticity
+    free_ch: jnp.ndarray           # [mx, my, mz, 8, 3] valid & free
+    fine_diag: jnp.ndarray
+    levels: tuple
+    coarse_inv: jnp.ndarray | None
+    lam: tuple
+    nu: int
+    _coarse_lu: object = None
+
+    @classmethod
+    def build(cls, mesh: FEMMesh, D_elems, fixed_mask=None, *,
+              nu: int = 3, dense_cap: int = 4096, dtype=None
+              ) -> "VarStructuredMG":
+        from .structured_var import StructuredVarP2Elasticity
+
+        dt = dtype or jnp.float64
+        op = StructuredVarP2Elasticity.build(mesh, D_elems, dtype=dt)
+        n3 = tuple(int(c) for c in op.n3)
+
+        valid = op.valid_mask_channels().astype(dt)
+        valid = jnp.broadcast_to(valid, valid.shape[:-1] + (3,))
+        if fixed_mask is not None:
+            free_ch = op.to_channels(
+                (~jnp.asarray(fixed_mask)).astype(dt)) * valid
+        else:
+            free_ch = valid
+        fine_diag = op.diagonal_channels().astype(dt)
+
+        def dofs(nn):
+            return (nn[0] + 1) * (nn[1] + 1) * (nn[2] + 1) * 3
+
+        chain = [n3]
+        while (all(c % 2 == 0 for c in chain[-1]) and min(chain[-1]) >= 4
+               and dofs(chain[-1]) > dense_cap):
+            chain.append(tuple(c // 2 for c in chain[-1]))
+
+        vmask = np.asarray(free_ch[..., 0, :])
+        masks = [vmask]
+        for _ in chain[1:]:
+            masks.append(masks[-1][::2, ::2, ::2])
+
+        Kc = _p1_cell_matrices_var(mesh, D_elems)
+        levels = []
+        for li, (ln, m) in enumerate(zip(chain, masks)):
+            if li > 0:
+                Kc = _coarsen_cell_matrices(Kc)
+            diag = _p1_diag(ln, Kc)
+            levels.append(P1Level(ln, jnp.asarray(Kc, dt),
+                                  jnp.asarray(m, dt),
+                                  jnp.asarray(diag, dt)))
+
+        coarse_inv = None
+        coarse_lu = None
+        Ac, _ = _coarse_matrix_from_cells(np.asarray(levels[-1].Kc,
+                                                     np.float64),
+                                          masks[-1])
+        if dofs(chain[-1]) <= dense_cap:
+            Ad = np.asarray(Ac.todense())
+            if np.asarray(masks[-1]).min() > 0:
+                inv = np.linalg.pinv(Ad, hermitian=True)
+            else:
+                inv = np.linalg.inv(Ad)
+            coarse_inv = jnp.asarray(inv, dt)
+        else:
+            import scipy.sparse.linalg as spla
+
+            lu = spla.splu(Ac.tocsc())
+
+            def coarse_solve(r):
+                flat = np.asarray(r, np.float64).reshape(-1)
+                return lu.solve(flat).reshape(r.shape).astype(
+                    np.asarray(r).dtype)
+
+            coarse_lu = coarse_solve
+
+        obj = cls(op, free_ch, fine_diag, tuple(levels), coarse_inv,
+                  (1.0,) * (1 + len(levels)), nu, coarse_lu)
+        lam = [obj._lam_fine_gershgorin()]
+        for lvl in levels:
+            lam.append(_p1_gershgorin(lvl))
+        obj.lam = tuple(lam)
+        return obj
+
+    def _lam_fine_gershgorin(self):
+        """Row-scaled Gershgorin: abs row-sum bound assembled per tet,
+        |Ke| row sums bounded by |B|^T |SDS| |B| 1 (triangle inequality)."""
+        op = self.fine
+        nx, ny, nz = op.n3
+        aB = jnp.abs(op.B)
+        aS = jnp.abs(op.SDS).reshape(nx, ny, nz, 6, op.SDS.shape[-2],
+                                     op.SDS.shape[-1])
+        z = jnp.einsum("tqanc->tqa", aB)
+        rs_tet = jnp.einsum("tqanc,xyztab,tqb->xyztnc",
+                            aB * op.wv[:, :, None, None, None], aS, z)
+        rs27 = jnp.einsum("tak,xyztac->xyzkc", op.tet_slot, rs_tet)
+        rs = op._scatter_cells(rs27, rs27.dtype, 3)
+        diag = np.asarray(self.fine_diag, np.float64)
+        r = np.asarray(rs) / np.maximum(diag, 1e-30)
+        r = np.where(diag > 0, r, 0.0)        # dead slots excluded
+        return float(r.max()) * 1.02
+
+    # -- cycle -----------------------------------------------------------
+    _coarse_apply = StructuredMG._coarse_apply
+    _cycle_p1 = StructuredMG._cycle_p1
+
+    def precondition(self, r_ch):
+        """Channel-space residual -> correction (symmetric V-cycle at
+        HIGHEST matmul precision; see StructuredMG.precondition)."""
+        with jax.default_matmul_precision("highest"):
+            mask = self.free_ch
+            S = _chebyshev(self.fine.apply_channels, self.fine_diag, mask,
+                           self.lam[0], self.nu)
+            r = r_ch * mask
+            x = S(r)
+            res = (r - self.fine.apply_channels(x) * mask)
+            rc = restrict_p2(res)
+            xc = self._cycle_p1(0, rc * self.levels[0].free)
+            x = x + prolong_p2(xc) * mask
+            x = x + S(r - self.fine.apply_channels(x) * mask)
+            return x
+
+    def solve(self, b, fixed_values=None, tol: float = 1e-10,
+              maxiter: int = 500):
+        """MG-PCG on nodal b [N, 3]; returns (u [N, 3], CGResult)."""
+        op = self.fine
+        bc = op.to_channels(jnp.asarray(b))
+        u_d = None
+        if fixed_values is not None:
+            valid = op.valid_mask_channels().astype(bc.dtype)
+            valid = jnp.broadcast_to(valid, valid.shape[:-1] + (3,))
+            mask = self.free_ch.astype(bc.dtype)
+            u_d = op.to_channels(jnp.asarray(fixed_values)) \
+                * (valid - mask)
+        x, iters, resnorm = _var_mg_pcg(self, bc, u_d, tol, maxiter)
+        return op.from_channels(x), _CGResultShim(x, iters, resnorm)
+
+    def tree_flatten(self):
+        return ((self.fine, self.free_ch, self.fine_diag, self.levels,
+                 self.coarse_inv),
+                (self.lam, self.nu, self._coarse_lu))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, aux[0], aux[1], aux[2])
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _var_mg_pcg(mg, bc, u_d, tol, maxiter):
+    from ..solvers import cg as cg_mod
+
+    with jax.default_matmul_precision("highest"):
+        mask = mg.free_ch.astype(bc.dtype)
+        if u_d is not None:
+            bc = bc - mg.fine.apply_channels(u_d)
+        res = cg_mod.cg(mg.fine.apply_channels, bc * mask,
+                        M_inv=mg.precondition,
                         project=lambda v: v * mask, tol=tol,
                         maxiter=maxiter)
         x = res.x if u_d is None else res.x + u_d

@@ -158,7 +158,7 @@ class ElasticitySimulator:
         """Cheap pre-filter for the structured multigrid path (the full
         Kuhn-grid validation runs inside StructuredP2Elasticity.build)."""
         return (self.dim == 3 and self.mesh.degree == 2
-                and getattr(self.D, "ndim", 0) == 2       # uniform material
+                and getattr(self.D, "ndim", 0) in (2, 3)  # uniform / field
                 and self.num_dofs == self.mesh.num_nodes  # no periodic ids
                 and not self.no_rigid_motion
                 and self.dirichlet_mask.any()
@@ -168,7 +168,7 @@ class ElasticitySimulator:
         """Kuhn-grid fast path: V-cycle-preconditioned CG
         (``ops/structured_mg``), f64-refined on f32 backends.  Raises
         ValueError when the mesh fails the Kuhn-grid validation."""
-        from ..ops.structured_mg import StructuredMG
+        from ..ops.structured_mg import StructuredMG, VarStructuredMG
         from ..solvers import refine as refine_mod
         from .. import config
 
@@ -176,12 +176,15 @@ class ElasticitySimulator:
         if self._mg is None or self._mg[0] != key:
             f64_dev = config.x64_enabled() \
                 and jax.default_backend() == "cpu"
-            mg = StructuredMG.build(
+            cls_mg = (VarStructuredMG if getattr(self.D, "ndim", 0) == 3
+                      else StructuredMG)   # per-element material fields
+            mg = cls_mg.build(
                 self.mesh, self.D, fixed_mask=jnp.asarray(fixed),
                 dtype=jnp.float64 if f64_dev else jnp.float32)
             self._mg = (key, mg)
         mg = self._mg[1]
-        dt = mg.fine.kernel.dtype
+        dt = mg.free_packed.dtype if hasattr(mg, "free_packed") \
+            else mg.free_ch.dtype
         if dt == jnp.float64 or tol >= 1e-5:
             u, res = mg.solve(jnp.asarray(b, dt),
                               fixed_values=jnp.asarray(vals, dt),
