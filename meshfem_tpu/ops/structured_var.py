@@ -72,6 +72,7 @@ class StructuredVarP2Elasticity:
     n3: tuple
     SDS: jnp.ndarray      # [ncells, 6, fl, fl] S D S per (cell, tet)
     B: jnp.ndarray        # [6, Q, fl, 10, 3]
+    Bc: jnp.ndarray       # [6*Q*fl, 81] corner values -> per-tet strains
     wv: jnp.ndarray       # [6, Q] quad weight * tet volume
     tet_slot: jnp.ndarray  # [6, 10, 27] one-hot: cube node of (tet, a)
     node_slot: jnp.ndarray  # [N] nodal -> flat channel index
@@ -97,6 +98,14 @@ class StructuredVarP2Elasticity:
         for t in range(6):
             for a in range(10):
                 hot[t, a, tet_nodes[t, a]] = 1.0
+        # fold the tet-node selection into the strain matrix: one
+        # [144, 81] operator from cube corner values to ALL per-tet
+        # quad-point strains — the apply's heavy lifting becomes two MXU
+        # matmuls ([ncells, 81] @ Bc^T and back) instead of small-lane
+        # einsums
+        Q = B.shape[1]
+        Bc = np.einsum("tqanc,tnk->tqakc", B, hot).reshape(
+            6 * Q * fl, 27 * 3)
 
         # nodal <-> channel-space mapping (same layout as structured.py)
         bb = mesh.bbox()
@@ -111,8 +120,9 @@ class StructuredVarP2Elasticity:
         node_slot = cell_flat * 8 + ch
 
         obj = cls(n3, jnp.asarray(SDS, dt), jnp.asarray(B, dt),
-                  jnp.asarray(wv, dt), jnp.asarray(hot, dt),
-                  jnp.asarray(node_slot), mesh.num_nodes)
+                  jnp.asarray(Bc, dt), jnp.asarray(wv, dt),
+                  jnp.asarray(hot, dt), jnp.asarray(node_slot),
+                  mesh.num_nodes)
         obj._slots = slots
         return obj
 
@@ -144,22 +154,21 @@ class StructuredVarP2Elasticity:
         return out
 
     def apply_channels(self, ch):
-        """A u in channel space: corner-slice gather -> strain/stress/
-        force einsums (fixed B, per-cell-tet materials) -> adjoint
-        scatter."""
+        """A u in channel space: corner-slice gather -> [ncells, 81] @
+        Bc^T (MXU) -> per-cell [fl, fl] stress products -> @ Bc (MXU) ->
+        adjoint scatter."""
         nx, ny, nz = self.n3
+        nc = nx * ny * nz
+        fl = self.SDS.shape[-1]
+        Q = self.B.shape[1]
         dt = ch.dtype
-        u27 = self._gather_cells(ch)                      # [nx,ny,nz,27,3]
-        ue = jnp.einsum("tak,xyzkc->xyztac", self.tet_slot.astype(dt),
-                        u27)                              # [...,6,10,3]
-        strain = jnp.einsum("tqanc,xyztnc->xyztqa", self.B.astype(dt), ue)
-        SDS = self.SDS.astype(dt).reshape(nx, ny, nz, 6,
-                                          self.SDS.shape[-2],
-                                          self.SDS.shape[-1])
-        stress = jnp.einsum("xyztab,xyztqb->xyztqa", SDS, strain) \
-            * self.wv.astype(dt)[None, None, None, :, :, None]
-        fe = jnp.einsum("tqanc,xyztqa->xyztnc", self.B.astype(dt), stress)
-        f27 = jnp.einsum("tak,xyztac->xyzkc", self.tet_slot.astype(dt), fe)
+        u27 = self._gather_cells(ch).reshape(nc, 81)      # [nc, 81]
+        strain = (u27 @ self.Bc.astype(dt).T).reshape(nc, 6, Q, fl)
+        stress = jnp.einsum("xtab,xtqb->xtqa", self.SDS.astype(dt),
+                            strain) \
+            * self.wv.astype(dt)[None, :, :, None]
+        f27 = (stress.reshape(nc, 6 * Q * fl)
+               @ self.Bc.astype(dt)).reshape(nx, ny, nz, 27, 3)
         return self._scatter_cells(f27, dt, 3)
 
     def __call__(self, u):
@@ -188,7 +197,7 @@ class StructuredVarP2Elasticity:
 
     # -- pytree -----------------------------------------------------------
     def tree_flatten(self):
-        return ((self.SDS, self.B, self.wv, self.tet_slot,
+        return ((self.SDS, self.B, self.Bc, self.wv, self.tet_slot,
                  self.node_slot),
                 (self.n3, self.num_nodes, tuple(self._slots)))
 
