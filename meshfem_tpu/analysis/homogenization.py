@@ -68,8 +68,10 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     :func:`periodic_simulator`).  ``precond``: 'jacobi' | 'block' (d x d
     node blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
     preconditioned operator) | 'twolevel' / 'twolevel-mult' (P1-coarse
-    two-level, ``solvers/twolevel.py`` — the high-contrast workhorse
-    with bounded iteration counts).
+    two-level, ``solvers/twolevel.py`` — the high-contrast workhorse on
+    unstructured cells) | 'multigrid' (periodic torus V-cycle for
+    Kuhn-GRID cells, ``ops/structured_periodic.py`` — MG-bounded
+    iteration counts; raises off-grid).
     Returns (w [fl, N, dim], iters list)."""
     from ..solvers import precond as pc
 
@@ -81,6 +83,13 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     # projection is exact mean subtraction — no QR, bit-accurate on TPU
     # (an inexact projector lets the singular system's null component grow).
     project = lambda v: v - jnp.mean(v, axis=0, keepdims=True)
+    if precond == "multigrid":
+        # Kuhn-grid cells (voxel microstructures): periodic torus
+        # multigrid (ops/structured_periodic.py) — MG-bounded iteration
+        # counts per cell problem; raises ValueError off-grid
+        from ..ops.structured_periodic import solve_cell_problems_grid
+
+        return solve_cell_problems_grid(sim, tol=tol, maxiter=maxiter)
     if precond == "jacobi":
         diag = sim.K_diagonal()
         safe = jnp.where(diag > 0, diag, 1.0)

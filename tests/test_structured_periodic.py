@@ -1,0 +1,79 @@
+"""Periodic torus structured path (ops/structured_periodic.py):
+homogenization cell problems on voxel/grid microstructures with
+MG-bounded iteration counts (PeriodicHomogenization.hh:48-53 role).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from meshfem_tpu.mesh import FEMMesh, generators
+from meshfem_tpu.analysis import homogenization as hom
+from meshfem_tpu.physics.materials import MaterialField as MF
+from meshfem_tpu.ops.structured_periodic import (
+    PeriodicVarP2Elasticity, torus_prolong_p2, torus_restrict_p2,
+    torus_prolong_h, torus_restrict_h)
+
+
+def _grid_cell(n=4, contrast=1000.0):
+    V, T = generators.grid_tet(n, n, n)
+    mesh = FEMMesh(V, T, degree=2)
+    c = V[T].mean(axis=1)
+    E_field = np.where(((c - 0.5) ** 2).sum(axis=1) < 0.08, contrast, 1.0)
+    mats = MF.isotropic_field(3, jnp.asarray(E_field),
+                              jnp.full(len(E_field), 0.3))
+    return mesh, mats
+
+
+def test_torus_transfers_adjoint():
+    rng = np.random.default_rng(0)
+    n = 4
+    v = jnp.asarray(rng.standard_normal((n, n, n, 3)))
+    u = jnp.asarray(rng.standard_normal((n, n, n, 8, 3)))
+    assert abs(float(jnp.vdot(torus_prolong_p2(v), u)
+                     - jnp.vdot(v, torus_restrict_p2(u)))) < 1e-10
+    vc = jnp.asarray(rng.standard_normal((n // 2,) * 3 + (3,)))
+    uf = jnp.asarray(rng.standard_normal((n,) * 3 + (3,)))
+    assert abs(float(jnp.vdot(torus_prolong_h(vc), uf)
+                     - jnp.vdot(vc, torus_restrict_h(uf)))) < 1e-10
+
+
+def test_periodic_operator_matches_ebe():
+    """Torus channel operator == the periodic-dof EBE apply."""
+    mesh, mats = _grid_cell(4)
+    sim = hom.periodic_simulator(mesh, mats)
+    op = PeriodicVarP2Elasticity.build(mesh, np.asarray(mats.D),
+                                       sim.dof_map)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((sim.num_dofs, 3)))
+    err = float(jnp.max(jnp.abs(op(u) - sim.apply_K(u)))) \
+        / float(jnp.max(jnp.abs(sim.apply_K(u))))
+    assert err < 1e-13
+    derr = float(jnp.max(jnp.abs(
+        op.from_channels(op.diagonal_channels()) - sim.K_diagonal())))
+    assert derr < 1e-12 * float(jnp.max(sim.K_diagonal()))
+
+
+def test_grid_cell_problems_multigrid():
+    """homogenize(precond='multigrid'): torus V-cycle cell problems
+    reproduce the block-CG tensor with far fewer iterations."""
+    mesh, mats = _grid_cell(4)
+    res_mg = hom.homogenize(mesh, mats, tol=1e-9, precond="multigrid")
+    res_ref = hom.homogenize(mesh, mats, tol=1e-11, precond="block")
+    d = np.abs(np.asarray(res_mg.Ch) - np.asarray(res_ref.Ch)).max() \
+        / np.abs(np.asarray(res_ref.Ch)).max()
+    assert d < 1e-7
+    assert max(res_mg.cg_iters) * 2 < res_ref.cg_iters[0]
+
+
+def test_multigrid_raises_off_grid():
+    V, T = generators.grid_tet(4, 4, 4)
+    V2 = V.copy()
+    interior = ((V2 > 0.1) & (V2 < 0.9)).all(axis=1)
+    V2[interior] += 0.01
+    mesh = FEMMesh(V2, T, degree=2)
+    c = V2[T].mean(axis=1)
+    mats = MF.isotropic_field(3, jnp.ones(len(T)),
+                              jnp.full(len(T), 0.3))
+    with pytest.raises(ValueError):
+        hom.homogenize(mesh, mats, precond="multigrid")
