@@ -1,2 +1,3 @@
 from . import homogenization
-from .homogenization import homogenize, HomogenizationResult
+from .homogenization import (homogenize, homogenize_voxels,
+                             HomogenizationResult)

@@ -77,3 +77,21 @@ def test_multigrid_raises_off_grid():
                               jnp.full(len(T), 0.3))
     with pytest.raises(ValueError):
         hom.homogenize(mesh, mats, precond="multigrid")
+
+
+def test_homogenize_voxels():
+    """Voxel one-call entry point: cross lattice, 1e6 ersatz contrast —
+    MG iteration counts stay bounded, tensor cubic-symmetric and SPD."""
+    from meshfem_tpu.analysis.homogenization import homogenize_voxels
+
+    occ = np.zeros((6, 6, 6), bool)
+    occ[2:4, :, 2:4] = True
+    occ[:, 2:4, 2:4] = True
+    occ[2:4, 2:4, :] = True
+    res = homogenize_voxels(occ, E_solid=1.0, nu=0.3)
+    Ch = np.asarray(res.Ch)
+    d = np.diag(Ch)
+    assert max(res.cg_iters) < 60          # bounded despite 1e6 contrast
+    assert np.linalg.eigvalsh(Ch).min() > 0
+    assert d.max() < 1.0
+    assert abs(d[:3] - d[:3].mean()).max() < 1e-6   # cubic symmetry
