@@ -428,11 +428,30 @@ def _periodic_mg_cg(mg, bc, tol, maxiter):
         return res.x, res.iters, res.resnorm
 
 
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _periodic_mg_cg_block(mg, Bc, tol, maxiter):
+    """All fl cell problems in ONE block CG: the torus operator and the
+    V-cycle are linear, so they batch over a trailing RHS axis via vmap
+    (batched convs/matmuls — the applies amortize across columns)."""
+    from ..solvers import cg as cg_mod
+
+    with jax.default_matmul_precision("highest"):
+        A_blk = jax.vmap(mg.fine.apply_channels, in_axes=-1, out_axes=-1)
+        M_blk = jax.vmap(mg.precondition, in_axes=-1, out_axes=-1)
+
+        def project(v):
+            return v - jnp.mean(v, axis=(0, 1, 2, 3), keepdims=True)
+
+        return cg_mod.cg_block(A_blk, project(Bc), M_inv=M_blk,
+                               project=project, tol=tol, maxiter=maxiter)
+
+
 def solve_cell_problems_grid(sim, mg: PeriodicVarMG | None = None,
                              tol: float = 1e-10, maxiter: int = 300):
     """MG-preconditioned periodic cell problems for a GRID simulator
     (drop-in for ``analysis.homogenization.solve_cell_problems`` when the
-    mesh is a Kuhn grid).  Returns (w [fl, N, dim], iters list)."""
+    mesh is a Kuhn grid).  All fl right-hand sides solve in ONE block CG
+    with the vmapped V-cycle.  Returns (w [fl, N, dim], iters list)."""
     from ..analysis.homogenization import canonical_strain
 
     dim = sim.dim
@@ -443,13 +462,10 @@ def solve_cell_problems_grid(sim, mg: PeriodicVarMG | None = None,
             D = jnp.broadcast_to(D, (sim.mesh.num_elements,) + D.shape)
         mg = PeriodicVarMG.build(sim.mesh, D, sim.dof_map,
                                  dtype=sim.Ke.dtype)
-    ws, iters = [], []
-    for i in range(fl):
-        b = sim.constant_strain_load(
-            -canonical_strain(dim, i, sim.Ke.dtype))
-        bc = mg.fine.to_channels(b)
-        x, its, _ = _periodic_mg_cg(mg, bc, tol, maxiter)
-        ws.append(mg.fine.from_channels(x))
-        iters.append(int(its))
-    w = jnp.stack(ws)[:, jnp.asarray(sim.dof_map)]
-    return w, iters
+    Bc = jnp.stack([mg.fine.to_channels(sim.constant_strain_load(
+        -canonical_strain(dim, i, sim.Ke.dtype))) for i in range(fl)],
+        axis=-1)
+    res = _periodic_mg_cg_block(mg, Bc, tol, maxiter)
+    w = jnp.stack([mg.fine.from_channels(res.x[..., i])
+                   for i in range(fl)])[:, jnp.asarray(sim.dof_map)]
+    return w, [int(res.iters)] * fl
