@@ -311,6 +311,33 @@ def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
         # ortho-cell integrals are normalized by the ortho cell volume.
         base_cell_volume = mesh.bbox().volume()
 
+    if precond == "multigrid":
+        # Kuhn-grid ortho cells: one variable-D MG per probe mask (the
+        # per-cell matrices dominate the build and could be shared;
+        # factorizing the small coarse level per probe is cheap)
+        from ..ops.structured_mg import VarStructuredMG
+
+        D = sim.D
+        if getattr(D, "ndim", 0) == 2:
+            D = jnp.broadcast_to(D, (mesh.num_elements,) + D.shape)
+        ws, iters = [], []
+        for i in range(fl):
+            mask = stretch_mask if i < dim else shear_masks[i - dim]
+            mg = VarStructuredMG.build(mesh, D,
+                                       fixed_mask=jnp.asarray(mask),
+                                       dtype=sim.Ke.dtype)
+            rhs = sim.constant_strain_load(
+                -canonical_strain(dim, i, sim.Ke.dtype))
+            u, res = mg.solve(rhs, tol=tol)
+            ws.append(u)
+            iters.append(int(res.iters))
+        w = jnp.stack(ws)
+        EhO = homogenized_tensor_stress_form(sim, w, base_cell_volume)
+        Ch = reconstruct_from_ortho_cell(EhO, dim)
+        strain_w = jnp.stack([sim.average_strain_field(w[i])
+                              for i in range(fl)])
+        return HomogenizationResult(Ch, w, strain_w, iters)
+
     diag = sim.K_diagonal()
     safe = jnp.where(diag > 0, diag, 1.0)
     if precond == "twolevel":

@@ -95,3 +95,26 @@ def test_homogenize_voxels():
     assert np.linalg.eigvalsh(Ch).min() > 0
     assert d.max() < 1.0
     assert abs(d[:3] - d[:3].mean()).max() < 1e-6   # cubic symmetry
+
+
+def test_orthotropic_grid_multigrid():
+    """Ortho-cell probes on a grid with a material field: per-probe
+    variable-D MG matches the Jacobi-CG tensor at far fewer iterations
+    (a uniform material would be degenerate — w = 0 exactly)."""
+    from meshfem_tpu.physics.materials import MaterialField as MFm
+
+    n = 6
+    V, T = generators.grid_tet(n, n, n, hi=(0.5, 0.5, 0.5))
+    mesh = FEMMesh(V, T, degree=2)
+    c = V[T].mean(axis=1)
+    E_field = np.where(((c - 0.25) ** 2).sum(axis=1) < 0.02, 1000.0, 1.0)
+    mats = MFm.isotropic_field(3, jnp.asarray(E_field),
+                               jnp.full(len(E_field), 0.3))
+    res_mg = hom.homogenize_orthotropic(mesh, mats, tol=1e-10,
+                                        precond="multigrid")
+    res_j = hom.homogenize_orthotropic(mesh, mats, tol=1e-11)
+    d = np.abs(np.asarray(res_mg.Ch) - np.asarray(res_j.Ch)).max() \
+        / np.abs(np.asarray(res_j.Ch)).max()
+    assert d < 1e-7
+    assert np.abs(np.asarray(res_mg.w)).max() > 0
+    assert max(res_mg.cg_iters) * 3 < max(res_j.cg_iters)
