@@ -84,12 +84,16 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     # (an inexact projector lets the singular system's null component grow).
     project = lambda v: v - jnp.mean(v, axis=0, keepdims=True)
     if precond == "multigrid":
-        # Kuhn-grid cells (voxel microstructures): periodic torus
-        # multigrid (ops/structured_periodic.py) — MG-bounded iteration
-        # counts per cell problem; raises ValueError off-grid
-        from ..ops.structured_periodic import solve_cell_problems_grid
+        # grid cells (voxel/pixel microstructures): periodic torus
+        # multigrid — MG-bounded iteration counts per cell problem;
+        # raises ValueError off-grid
+        if dim == 3:
+            from ..ops.structured_periodic import solve_cell_problems_grid
 
-        return solve_cell_problems_grid(sim, tol=tol, maxiter=maxiter)
+            return solve_cell_problems_grid(sim, tol=tol, maxiter=maxiter)
+        from ..ops.structured_periodic2d import solve_cell_problems_grid2d
+
+        return solve_cell_problems_grid2d(sim, tol=tol, maxiter=maxiter)
     if precond == "jacobi":
         diag = sim.K_diagonal()
         safe = jnp.where(diag > 0, diag, 1.0)

@@ -118,3 +118,44 @@ def test_orthotropic_grid_multigrid():
     assert d < 1e-7
     assert np.abs(np.asarray(res_mg.w)).max() > 0
     assert max(res_mg.cg_iters) * 3 < max(res_j.cg_iters)
+
+
+def test_pixel_torus_2d():
+    """2D pixel-cell torus: operator parity with the periodic EBE and
+    MG-bounded cell problems (homogenize dispatches by dim)."""
+    from meshfem_tpu.ops.structured_periodic2d import (
+        PeriodicVarP2Elasticity2D, torus2d_prolong_p2, torus2d_restrict_p2,
+        torus2d_prolong_h, torus2d_restrict_h)
+
+    rng = np.random.default_rng(0)
+    m = 4
+    v = jnp.asarray(rng.standard_normal((m, m, 2)))
+    u = jnp.asarray(rng.standard_normal((m, m, 4, 2)))
+    assert abs(float(jnp.vdot(torus2d_prolong_p2(v), u)
+                     - jnp.vdot(v, torus2d_restrict_p2(u)))) < 1e-10
+    vc = jnp.asarray(rng.standard_normal((m // 2, m // 2, 2)))
+    uf = jnp.asarray(rng.standard_normal((m, m, 2)))
+    assert abs(float(jnp.vdot(torus2d_prolong_h(vc), uf)
+                     - jnp.vdot(vc, torus2d_restrict_h(uf)))) < 1e-10
+
+    n = 8
+    V, F = generators.grid_tri(n, n, diagonal="right")
+    mesh = FEMMesh(V, F, degree=2)
+    c = V[F].mean(axis=1)
+    E_field = np.where(((c - 0.5) ** 2).sum(axis=1) < 0.06, 1000.0, 1.0)
+    mats = MF.isotropic_field(2, jnp.asarray(E_field),
+                              jnp.full(len(E_field), 0.3))
+    sim = hom.periodic_simulator(mesh, mats)
+    op = PeriodicVarP2Elasticity2D.build(mesh, np.asarray(mats.D),
+                                         sim.dof_map)
+    x = jnp.asarray(rng.standard_normal((sim.num_dofs, 2)))
+    err = float(jnp.max(jnp.abs(op(x) - sim.apply_K(x)))) \
+        / float(jnp.max(jnp.abs(sim.apply_K(x))))
+    assert err < 1e-13
+
+    res_mg = hom.homogenize(mesh, mats, tol=1e-9, precond="multigrid")
+    res_ref = hom.homogenize(mesh, mats, tol=1e-11, precond="block")
+    d = np.abs(np.asarray(res_mg.Ch) - np.asarray(res_ref.Ch)).max() \
+        / np.abs(np.asarray(res_ref.Ch)).max()
+    assert d < 1e-7
+    assert max(res_mg.cg_iters) * 3 < res_ref.cg_iters[0]
