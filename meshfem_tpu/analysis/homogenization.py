@@ -219,25 +219,34 @@ def probe(sim: ElasticitySimulator, w, macro_strain_flat):
 
 def homogenize_voxels(occupancy, E_solid: float = 1.0, nu: float = 0.3,
                       void_ratio: float = 1e-6, tol: float = 1e-9,
-                      cell=(1.0, 1.0, 1.0)) -> "HomogenizationResult":
-    """Homogenize a VOXEL microstructure directly: occupancy [nx, ny, nz]
-    (bool/0-1) -> Kuhn-grid cell with a two-phase material field (void as
-    ``void_ratio * E_solid`` ersatz, the standard topology-optimization
-    treatment) -> periodic torus multigrid cell problems
-    (``ops/structured_periodic.py``).  The voxel-design one-call entry
-    point for the Elastic Textures workload."""
+                      cell=None) -> "HomogenizationResult":
+    """Homogenize a VOXEL/PIXEL microstructure directly: occupancy
+    [nx, ny, nz] (3D) or [nx, ny] (2D), bool/0-1 -> grid cell with a
+    two-phase material field (void as ``void_ratio * E_solid`` ersatz,
+    the standard topology-optimization treatment) -> periodic torus
+    multigrid cell problems (``ops/structured_periodic[2d].py``).  The
+    voxel-design one-call entry point for the Elastic Textures
+    workload."""
     from ..mesh import generators
     from ..physics.materials import MaterialField
 
     occ = np.asarray(occupancy)
-    nx, ny, nz = occ.shape
-    V, T = generators.grid_tet(nx, ny, nz, hi=tuple(cell))
+    dim = occ.ndim
+    if cell is None:
+        cell = (1.0,) * dim
+    if dim == 3:
+        V, T = generators.grid_tet(*occ.shape, hi=tuple(cell))
+        per_cell = 6
+    else:
+        V, T = generators.grid_tri(*occ.shape, hi=tuple(cell),
+                                   diagonal="right")
+        per_cell = 2
     mesh = FEMMesh(V, T, degree=2)
     E_cell = np.where(occ.reshape(-1) > 0, E_solid,
                       void_ratio * E_solid)
-    E_field = np.repeat(E_cell, 6)          # 6 tets per voxel
+    E_field = np.repeat(E_cell, per_cell)
     mats = MaterialField.isotropic_field(
-        3, jnp.asarray(E_field), jnp.full(len(E_field), nu))
+        dim, jnp.asarray(E_field), jnp.full(len(E_field), nu))
     return homogenize(mesh, mats, tol=tol, precond="multigrid")
 
 

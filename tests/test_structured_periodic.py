@@ -159,3 +159,17 @@ def test_pixel_torus_2d():
         / np.abs(np.asarray(res_ref.Ch)).max()
     assert d < 1e-7
     assert max(res_mg.cg_iters) * 3 < res_ref.cg_iters[0]
+
+
+def test_homogenize_pixels_2d():
+    from meshfem_tpu.analysis.homogenization import homogenize_voxels
+
+    occ = np.zeros((8, 8), bool)
+    occ[3:5, :] = True
+    occ[:, 3:5] = True
+    res = homogenize_voxels(occ, E_solid=1.0, nu=0.3)
+    Ch = np.asarray(res.Ch)
+    d = np.diag(Ch)
+    assert max(res.cg_iters) < 60
+    assert np.linalg.eigvalsh(Ch).min() > 0 and d.max() < 1.0
+    assert abs(d[0] - d[1]) < 1e-8        # square symmetry
