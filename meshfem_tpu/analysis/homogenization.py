@@ -259,10 +259,15 @@ def homogenize(mesh: FEMMesh, material, orthotropic_cell: bool = False,
     :func:`solve_cell_problems` ('jacobi'|'block'|'chebyshev'|'twolevel'|
     'twolevel-mult'; the orthotropic path supports 'jacobi'|'twolevel')."""
     if orthotropic_cell:
+        if precond.startswith("twolevel"):
+            oprecond = "twolevel"
+        elif precond == "multigrid":
+            oprecond = "multigrid"
+        else:
+            oprecond = "jacobi"
         return homogenize_orthotropic(
             mesh, material, tol=tol, base_cell_volume=base_cell_volume,
-            precond=("twolevel" if precond.startswith("twolevel")
-                     else "jacobi"))
+            precond=oprecond)
     sim = periodic_simulator(mesh, material)
     w, iters = solve_cell_problems(sim, tol=tol, precond=precond)
     if center_fluctuations:
@@ -328,17 +333,23 @@ def homogenize_orthotropic(mesh: FEMMesh, material, tol: float = 1e-11,
         # Kuhn-grid ortho cells: one variable-D MG per probe mask (the
         # per-cell matrices dominate the build and could be shared;
         # factorizing the small coarse level per probe is cheap)
-        from ..ops.structured_mg import VarStructuredMG
+        from ..ops.structured_mg import (VarStructuredMG,
+                                         _p1_cell_matrices_var)
 
         D = sim.D
         if getattr(D, "ndim", 0) == 2:
             D = jnp.broadcast_to(D, (mesh.num_elements,) + D.shape)
+        # the per-cell P1 matrices depend only on (mesh, D) — compute
+        # once and share across the fl probe builds (only masks, diags
+        # and the coarse factorization differ per probe)
+        Kc_shared = _p1_cell_matrices_var(mesh, D)
         ws, iters = [], []
         for i in range(fl):
             mask = stretch_mask if i < dim else shear_masks[i - dim]
             mg = VarStructuredMG.build(mesh, D,
                                        fixed_mask=jnp.asarray(mask),
-                                       dtype=sim.Ke.dtype)
+                                       dtype=sim.Ke.dtype,
+                                       Kc_fine=Kc_shared)
             rhs = sim.constant_strain_load(
                 -canonical_strain(dim, i, sim.Ke.dtype))
             u, res = mg.solve(rhs, tol=tol)

@@ -663,8 +663,10 @@ class VarStructuredMG:
 
     @classmethod
     def build(cls, mesh: FEMMesh, D_elems, fixed_mask=None, *,
-              nu: int = 3, dense_cap: int = 4096, dtype=None
-              ) -> "VarStructuredMG":
+              nu: int = 3, dense_cap: int = 4096, dtype=None,
+              Kc_fine=None) -> "VarStructuredMG":
+        """``Kc_fine``: precomputed _p1_cell_matrices_var(mesh, D_elems)
+        (shared across builds that differ only in the mask)."""
         from .structured_var import StructuredVarP2Elasticity
 
         dt = dtype or jnp.float64
@@ -693,7 +695,8 @@ class VarStructuredMG:
         for _ in chain[1:]:
             masks.append(masks[-1][::2, ::2, ::2])
 
-        Kc = _p1_cell_matrices_var(mesh, D_elems)
+        Kc = (Kc_fine if Kc_fine is not None
+              else _p1_cell_matrices_var(mesh, D_elems))
         levels = []
         for li, (ln, m) in enumerate(zip(chain, masks)):
             if li > 0:

@@ -28,11 +28,9 @@ import jax.numpy as jnp
 from ..mesh.femmesh import FEMMesh
 from ..fem.flattening import flat_len, shear_doubler
 from .structured import _CHANNEL_BITS, validate_kuhn_grid
-from .structured_var import _cube_reference
+from .structured_var import _cube_reference, check_grid_element_order
 from .structured_mg import (P1Level, _p1_diag, _p1_gershgorin, _chebyshev,
                             _p1_cell_matrices_var, _coarsen_cell_matrices)
-from ..solvers.cg import CGResult as _CGResultShim
-
 
 def _wrap_pad(ch):
     """Append the first plane after the last along the 3 spatial axes."""
@@ -68,9 +66,7 @@ class PeriodicVarP2Elasticity:
     def build(cls, mesh: FEMMesh, D_elems, dof_map, dtype=None
               ) -> "PeriodicVarP2Elasticity":
         n3, h3 = validate_kuhn_grid(mesh)
-        if len(set(n3)) != 1:
-            # mixed extents fine in principle; keep validation simple
-            pass
+        check_grid_element_order(mesh, n3, h3)
         dt = dtype or jnp.float64
         fl = flat_len(3)
         slots, tet_nodes, B, wv = _cube_reference(h3)
@@ -244,20 +240,20 @@ def torus_restrict_p2(u):
 
 
 def torus_prolong_h(vc):
-    """Torus m -> torus 2m: fine[2c + b] = (v[c] + v[c + b]) / 2."""
-    m = vc.shape[0]
+    """Torus (mx, my, mz) -> torus (2mx, 2my, 2mz):
+    fine[2c + b] = (v[c] + v[c + b]) / 2."""
+    mx, my, mz = vc.shape[:3]
     classes = [vc if b == (0, 0, 0) else 0.5 * (vc + _roll(vc, b, +1))
                for b in [(bx, by, bz) for bx in (0, 1) for by in (0, 1)
                          for bz in (0, 1)]]
-    z = jnp.stack(classes, axis=0).reshape(2, 2, 2, m, m, m, 3)
-    return z.transpose(3, 0, 4, 1, 5, 2, 6).reshape(2 * m, 2 * m,
-                                                    2 * m, 3)
+    z = jnp.stack(classes, axis=0).reshape(2, 2, 2, mx, my, mz, 3)
+    return z.transpose(3, 0, 4, 1, 5, 2, 6).reshape(2 * mx, 2 * my,
+                                                    2 * mz, 3)
 
 
 def torus_restrict_h(rf):
-    mf = rf.shape[0]
-    m = mf // 2
-    z = rf.reshape(m, 2, m, 2, m, 2, 3).transpose(1, 3, 5, 0, 2, 4, 6)
+    mx, my, mz = (rf.shape[0] // 2, rf.shape[1] // 2, rf.shape[2] // 2)
+    z = rf.reshape(mx, 2, my, 2, mz, 2, 3).transpose(1, 3, 5, 0, 2, 4, 6)
     out = z[0, 0, 0]
     for bx in (0, 1):
         for by in (0, 1):
@@ -283,9 +279,10 @@ class PeriodicVarMG:
     fine: PeriodicVarP2Elasticity
     fine_diag: jnp.ndarray
     levels: tuple          # of TorusP1Level
-    coarse_inv: jnp.ndarray
+    coarse_inv: jnp.ndarray | None
     lam: tuple
     nu: int
+    _coarse_lu: object = None
 
     @classmethod
     def build(cls, mesh: FEMMesh, D_elems, dof_map, *, nu: int = 3,
@@ -314,18 +311,60 @@ class PeriodicVarMG:
                                        jnp.asarray(diag, dt)))
 
         # coarsest: dense pseudo-inverse (translations are singular)
-        Ac = cls._coarse_matrix_torus(np.asarray(levels[-1].Kc,
-                                                 np.float64))
-        inv = np.linalg.pinv(Ac, hermitian=True)
-        coarse_inv = jnp.asarray(inv, dt)
+        # when small; otherwise host SuperLU on the 3-dof-pinned matrix
+        # through pure_callback (odd extents stop the dyadic chain early)
+        nl = levels[-1].n3
+        Ncd = nl[0] * nl[1] * nl[2] * 3
+        coarse_inv = None
+        coarse_lu = None
+        if Ncd <= dense_cap:
+            Ac = cls._coarse_matrix_torus(np.asarray(levels[-1].Kc,
+                                                     np.float64))
+            coarse_inv = jnp.asarray(np.linalg.pinv(Ac, hermitian=True),
+                                     dt)
+        else:
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+
+            Ac = sp.csr_matrix(cls._coarse_matrix_torus_sparse(
+                np.asarray(levels[-1].Kc, np.float64)))
+            m = np.ones(Ncd)
+            m[:3] = 0.0                    # pin vertex 0 (translations)
+            M = sp.diags(m)
+            lu = spla.splu((M @ Ac @ M + sp.diags(1.0 - m)).tocsc())
+
+            def coarse_solve(r):
+                flat = np.asarray(r, np.float64).reshape(-1) * m
+                out = lu.solve(flat) * m
+                return out.reshape(r.shape).astype(np.asarray(r).dtype)
+
+            coarse_lu = coarse_solve
 
         obj = cls(op, fine_diag, tuple(levels), coarse_inv,
-                  (1.0,) * (1 + len(levels)), nu)
+                  (1.0,) * (1 + len(levels)), nu, coarse_lu)
         lam = [obj._lam_fine()]
         for lvl in levels:
             lam.append(_torus_gershgorin(lvl))
         obj.lam = tuple(lam)
         return obj
+
+    @staticmethod
+    def _coarse_matrix_torus_sparse(Kc):
+        import scipy.sparse as sp
+
+        nx, ny, nz = Kc.shape[:3]
+        N = nx * ny * nz * 3
+        corners = np.asarray(_CHANNEL_BITS)
+        cells = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                     np.arange(nz), indexing="ij"),
+                         axis=-1).reshape(-1, 3)
+        gid = (((cells[:, None, 0] + corners[None, :, 0]) % nx) * ny
+               + ((cells[:, None, 1] + corners[None, :, 1]) % ny)) * nz             + ((cells[:, None, 2] + corners[None, :, 2]) % nz)
+        dof = (gid[:, :, None] * 3 + np.arange(3)).reshape(-1, 24)
+        rows = np.repeat(dof, 24, axis=1).reshape(-1)
+        cols = np.tile(dof, (1, 24)).reshape(-1)
+        vals = np.asarray(Kc, np.float64).reshape(-1)
+        return sp.coo_matrix((vals, (rows, cols)), shape=(N, N))
 
     @staticmethod
     def _coarse_matrix_torus(Kc):
@@ -363,10 +402,13 @@ class PeriodicVarMG:
     def _cycle(self, i, r):
         lvl = self.levels[i]
         if i == len(self.levels) - 1:
-            flat = r.reshape(-1)
-            return (self.coarse_inv.astype(r.dtype) @ flat).reshape(
-                r.shape)
-        ident = lambda v: v
+            if self.coarse_inv is not None:
+                flat = r.reshape(-1)
+                return (self.coarse_inv.astype(r.dtype) @ flat).reshape(
+                    r.shape)
+            return jax.pure_callback(
+                self._coarse_lu, jax.ShapeDtypeStruct(r.shape, r.dtype),
+                r, vmap_method="sequential")
         S = _chebyshev(lvl.apply, lvl.diag,
                        jnp.ones((), r.dtype), self.lam[1 + i], self.nu)
         x = S(r)

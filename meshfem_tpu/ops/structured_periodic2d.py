@@ -73,6 +73,32 @@ def validate_pixel_grid(mesh: FEMMesh):
     return n2, h2
 
 
+def check_pixel_element_order(mesh, n2, h2):
+    """Raise unless elements are in grid_tri order (pixel-major C-order,
+    2 reference triangle slots per pixel) — the per-element material
+    pairing depends on it."""
+    bb = mesh.bbox()
+    Vv = np.asarray(mesh.V)
+    q = np.round((Vv - np.asarray(bb.min)) / np.asarray(h2)).astype(
+        np.int64)
+    tq = q[np.asarray(mesh.F)]
+    cmin = tq.min(axis=1)
+    cidx = cmin[:, 0] * n2[1] + cmin[:, 1]
+    E = len(tq)
+    if not np.array_equal(cidx, np.repeat(np.arange(E // 2), 2)):
+        raise ValueError("elements are not in grid_tri order (pixel-"
+                         "major C-order)")
+    bits = tq - cmin[:, None, :]
+    keys = np.sort(bits[:, :, 0] * 2 + bits[:, :, 1], axis=1)
+    Vr, Tr = generators.grid_tri(1, 1, diagonal="right")
+    qr = np.round(Vr).astype(np.int64)[Tr]
+    ref = np.sort(qr[:, :, 0] * 2 + qr[:, :, 1], axis=1)
+    if not np.array_equal(keys.reshape(E // 2, 2, 3),
+                          np.broadcast_to(ref, (E // 2, 2, 3))):
+        raise ValueError("pixel-local triangle slots do not match the "
+                         "grid_tri reference pattern order")
+
+
 def _pixel_reference(h2):
     from ..fem import quadrature
     from . import element_matrices as em
@@ -125,6 +151,7 @@ class PeriodicVarP2Elasticity2D:
     def build(cls, mesh: FEMMesh, D_elems, dof_map, dtype=None
               ) -> "PeriodicVarP2Elasticity2D":
         n2, h2 = validate_pixel_grid(mesh)
+        check_pixel_element_order(mesh, n2, h2)
         dt = dtype or jnp.float64
         fl = flat_len(2)
         slots, Bc, wv, _ = _pixel_reference(h2)
@@ -337,7 +364,7 @@ def _class_of_bits2(b):
 
 
 def torus2d_prolong_h(vc):
-    m = vc.shape[0]
+    mx, my = vc.shape[:2]
     classes = []
     for bx in (0, 1):
         for by in (0, 1):
@@ -347,13 +374,13 @@ def torus2d_prolong_h(vc):
                 ea, eb = _EDGE2[_class_of_bits2((bx, by))]
                 classes.append(0.5 * (_roll2(vc, ea, +1)
                                       + _roll2(vc, eb, +1)))
-    z = jnp.stack(classes, axis=0).reshape(2, 2, m, m, 2)
-    return z.transpose(2, 0, 3, 1, 4).reshape(2 * m, 2 * m, 2)
+    z = jnp.stack(classes, axis=0).reshape(2, 2, mx, my, 2)
+    return z.transpose(2, 0, 3, 1, 4).reshape(2 * mx, 2 * my, 2)
 
 
 def torus2d_restrict_h(rf):
-    m = rf.shape[0] // 2
-    z = rf.reshape(m, 2, m, 2, 2).transpose(1, 3, 0, 2, 4)
+    mx, my = rf.shape[0] // 2, rf.shape[1] // 2
+    z = rf.reshape(mx, 2, my, 2, 2).transpose(1, 3, 0, 2, 4)
     out = z[0, 0]
     for bx in (0, 1):
         for by in (0, 1):
@@ -388,9 +415,10 @@ class PeriodicVarMG2D:
     fine: PeriodicVarP2Elasticity2D
     fine_diag: jnp.ndarray
     levels: tuple
-    coarse_inv: jnp.ndarray
+    coarse_inv: jnp.ndarray | None
     lam: tuple
     nu: int
+    _coarse_lu: object = None
 
     @classmethod
     def build(cls, mesh: FEMMesh, D_elems, dof_map, *, nu: int = 3,
@@ -418,15 +446,55 @@ class PeriodicVarMG2D:
             levels.append(TorusP1Level2D(ln, jnp.asarray(Kc, dt),
                                          jnp.asarray(diag, dt)))
 
-        Ac = cls._coarse_matrix(np.asarray(levels[-1].Kc, np.float64))
-        coarse_inv = jnp.asarray(np.linalg.pinv(Ac, hermitian=True), dt)
+        nl = levels[-1].n2
+        Ncd = nl[0] * nl[1] * 2
+        coarse_inv = None
+        coarse_lu = None
+        if Ncd <= dense_cap:
+            Ac = cls._coarse_matrix(np.asarray(levels[-1].Kc, np.float64))
+            coarse_inv = jnp.asarray(np.linalg.pinv(Ac, hermitian=True),
+                                     dt)
+        else:
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+
+            Ac = cls._coarse_matrix_sparse(
+                np.asarray(levels[-1].Kc, np.float64)).tocsr()
+            m = np.ones(Ncd)
+            m[:2] = 0.0                    # pin vertex 0 (translations)
+            M = sp.diags(m)
+            lu = spla.splu((M @ Ac @ M + sp.diags(1.0 - m)).tocsc())
+
+            def coarse_solve(r):
+                flat = np.asarray(r, np.float64).reshape(-1) * m
+                out = lu.solve(flat) * m
+                return out.reshape(r.shape).astype(np.asarray(r).dtype)
+
+            coarse_lu = coarse_solve
         obj = cls(op, fine_diag, tuple(levels), coarse_inv,
-                  (1.0,) * (1 + len(levels)), nu)
+                  (1.0,) * (1 + len(levels)), nu, coarse_lu)
         lam = [obj._lam_fine()]
         for lvl in levels:
             lam.append(_torus_gershgorin2d(lvl))
         obj.lam = tuple(lam)
         return obj
+
+    @staticmethod
+    def _coarse_matrix_sparse(Kc):
+        import scipy.sparse as sp
+
+        nx, ny = Kc.shape[:2]
+        N = nx * ny * 2
+        corners = np.asarray(_BITS2)
+        cells = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                                     indexing="ij"),
+                         axis=-1).reshape(-1, 2)
+        gid = ((cells[:, None, 0] + corners[None, :, 0]) % nx) * ny             + ((cells[:, None, 1] + corners[None, :, 1]) % ny)
+        dof = (gid[:, :, None] * 2 + np.arange(2)).reshape(-1, 8)
+        rows = np.repeat(dof, 8, axis=1).reshape(-1)
+        cols = np.tile(dof, (1, 8)).reshape(-1)
+        vals = np.asarray(Kc, np.float64).reshape(-1)
+        return sp.coo_matrix((vals, (rows, cols)), shape=(N, N))
 
     @staticmethod
     def _coarse_matrix(Kc):
@@ -463,9 +531,13 @@ class PeriodicVarMG2D:
     def _cycle(self, i, r):
         lvl = self.levels[i]
         if i == len(self.levels) - 1:
-            flat = r.reshape(-1)
-            return (self.coarse_inv.astype(r.dtype) @ flat).reshape(
-                r.shape)
+            if self.coarse_inv is not None:
+                flat = r.reshape(-1)
+                return (self.coarse_inv.astype(r.dtype) @ flat).reshape(
+                    r.shape)
+            return jax.pure_callback(
+                self._coarse_lu, jax.ShapeDtypeStruct(r.shape, r.dtype),
+                r, vmap_method="sequential")
         S = _chebyshev(lvl.apply, lvl.diag, jnp.ones((), r.dtype),
                        self.lam[1 + i], self.nu)
         x = S(r)
@@ -487,11 +559,11 @@ class PeriodicVarMG2D:
     def tree_flatten(self):
         return ((self.fine, self.fine_diag, self.levels,
                  self.coarse_inv),
-                (self.lam, self.nu))
+                (self.lam, self.nu, self._coarse_lu))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, aux[0], aux[1])
+        return cls(*ch, aux[0], aux[1], aux[2])
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))

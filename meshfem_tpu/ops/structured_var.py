@@ -37,6 +37,36 @@ from . import element_matrices as em
 from .structured import _CHANNEL_BITS, validate_kuhn_grid
 
 
+def check_grid_element_order(mesh, n3, h3):
+    """Raise unless elements are in grid_tet order — cell-major C-order
+    with each cell's 6 tets in the reference pattern slots.  The
+    per-element material pairing (D_elems.reshape(ncells, 6, ...)) and
+    the fixed strain matrix both depend on it; a reordered Kuhn mesh
+    must fail loudly, not silently mis-assemble."""
+    bb = mesh.bbox()
+    Vv = np.asarray(mesh.V)
+    q = np.round((Vv - np.asarray(bb.min)) / np.asarray(h3)).astype(
+        np.int64)
+    tq = q[np.asarray(mesh.F)]                        # [E, 4, 3]
+    cmin = tq.min(axis=1)
+    cidx = (cmin[:, 0] * n3[1] + cmin[:, 1]) * n3[2] + cmin[:, 2]
+    E = len(tq)
+    if not np.array_equal(cidx, np.repeat(np.arange(E // 6), 6)):
+        raise ValueError("elements are not in grid_tet order (cell-major "
+                         "C-order); the variable-material structured path "
+                         "requires the generator ordering")
+    bits = tq - cmin[:, None, :]
+    keys = np.sort(bits[:, :, 0] * 4 + bits[:, :, 1] * 2 + bits[:, :, 2],
+                   axis=1)                            # [E, 4]
+    Vr, Tr = generators.grid_tet(1, 1, 1)
+    qr = np.round(Vr).astype(np.int64)[Tr]            # [6, 4, 3]
+    ref = np.sort(qr[:, :, 0] * 4 + qr[:, :, 1] * 2 + qr[:, :, 2], axis=1)
+    if not np.array_equal(keys.reshape(E // 6, 6, 4),
+                          np.broadcast_to(ref, (E // 6, 6, 4))):
+        raise ValueError("cell-local tet slots do not match the grid_tet "
+                         "reference pattern order")
+
+
 def _cube_reference(h3):
     """One Kuhn cell, P2: (slots [(offset, channel)] per cube node,
     tet_nodes [6, 10] cube-local node ids, B [6, Q, fl, 10, 3] strain
@@ -84,6 +114,7 @@ class StructuredVarP2Elasticity:
         """D_elems: [E, fl, fl] per-element material matrices in the
         grid_tet element order (6 tets per cell, cells C-order)."""
         n3, h3 = validate_kuhn_grid(mesh)
+        check_grid_element_order(mesh, n3, h3)
         dt = dtype or jnp.float64
         fl = flat_len(3)
         slots, tet_nodes, B, wv = _cube_reference(h3)

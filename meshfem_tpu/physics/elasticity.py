@@ -203,10 +203,7 @@ class ElasticitySimulator:
             u, r = mg.solve(r32, tol=1e-4, maxiter=120)
             return u, r.iters
 
-        x0_64 = None if x0 is None else proj_hi(
-            jnp.asarray(x0, jnp.float64) - jnp.asarray(u_d, jnp.float64))
-        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol,
-                                x0=x0_64)
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
         u_dof = ref.x + jnp.asarray(u_d, jnp.float64)
         return (u_dof[jnp.asarray(self.dof_map)],
                 cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm))

@@ -218,3 +218,31 @@ def test_mg_pure_neumann_pinv_coarse():
     Br = mg.precondition(rp)
     assert np.isfinite(np.asarray(Br)).all()
     assert float(jnp.vdot(rp, Br)) > 0
+
+
+def test_simulator_structured_f32_refinement_branch():
+    """The f32-MG + f64-refinement branch of _solve_structured (taken on
+    TPU backends at tight tolerances) runs and matches the f64 answer —
+    exercised here by injecting an f32-built MG into the cache."""
+    from meshfem_tpu.physics import ElasticitySimulator, Material
+
+    V, T = generators.grid_tet(8, 8, 8)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
+    X = np.asarray(mesh.node_positions)
+    sim.dirichlet_mask[X[:, 0] < 1e-9] = True
+    load = np.zeros((mesh.num_nodes, 3))
+    load[X[:, 0] > 1 - 1e-9, 1] = -0.01
+    sim.neumann_load = jnp.asarray(load)
+    mg32 = StructuredMG.build(mesh, D,
+                              fixed_mask=jnp.asarray(sim.dirichlet_mask),
+                              dtype=jnp.float32)
+    sim._mg = (sim.dirichlet_mask.tobytes(), mg32)
+    u32, res = sim._solve_structured(
+        sim.neumann_load, jnp.asarray(sim.dirichlet_mask),
+        jnp.asarray(sim.dirichlet_values), 1e-10, 500)
+    u_ref, _ = sim.solve(tol=1e-12, operator="ebe")
+    err = float(jnp.max(jnp.abs(u32 - u_ref))) \
+        / float(jnp.max(jnp.abs(u_ref)))
+    assert err < 1e-7
+    assert float(res.resnorm) < 1e-9

@@ -173,3 +173,34 @@ def test_homogenize_pixels_2d():
     assert max(res.cg_iters) < 60
     assert np.linalg.eigvalsh(Ch).min() > 0 and d.max() < 1.0
     assert abs(d[0] - d[1]) < 1e-8        # square symmetry
+
+
+def test_rectangular_voxel_cells():
+    """Non-cubic voxel arrays coarsen per-axis (the torus transfers use
+    each axis's own extent)."""
+    from meshfem_tpu.analysis.homogenization import homogenize_voxels
+
+    occ = np.ones((4, 8, 8), bool)
+    occ[1:3, 2:6, 2:6] = False
+    res = homogenize_voxels(occ, E_solid=1.0, nu=0.3, tol=1e-8,
+                            cell=(0.5, 1.0, 1.0))
+    Ch = np.asarray(res.Ch)
+    assert np.isfinite(Ch).all()
+    assert np.linalg.eigvalsh(Ch).min() > 0
+
+
+def test_reordered_grid_rejected_for_var_paths():
+    """A Kuhn grid with shuffled elements passes the geometric validation
+    but must be rejected by the element-order check (the per-element
+    material pairing depends on generator order)."""
+    from meshfem_tpu.ops.structured_var import StructuredVarP2Elasticity
+    from meshfem_tpu.fem import elasticity_tensor as et
+
+    V, T = generators.grid_tet(3, 3, 3)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(T))
+    mesh = FEMMesh(V, T[perm], degree=2)
+    D = np.broadcast_to(np.asarray(et.isotropic(3, 1.0, 0.3)),
+                        (len(T), 6, 6))
+    with pytest.raises(ValueError, match="order"):
+        StructuredVarP2Elasticity.build(mesh, D)
