@@ -57,8 +57,11 @@ class MaterialOptimizationProblem:
         tv[self.target_nodes] = np.asarray(self.target_values)
         self.target_field = jnp.asarray(tv)
 
-    def displacement(self, young, tol: float = 1e-10):
-        """Differentiable forward solve u(young [E])."""
+    def displacement(self, young, tol: float = 1e-10, M_inv=None):
+        """Differentiable forward solve u(young [E]).  ``M_inv``: optional
+        preconditioner (e.g. a grid multigrid V-cycle rebuilt per
+        optimization step — gradients are preconditioner-independent by
+        the implicit function theorem)."""
         mesh = self.mesh
         d = mesh.dim
         D = et.isotropic(d, jnp.asarray(young), self.poisson)
@@ -76,12 +79,13 @@ class MaterialOptimizationProblem:
 
         project = cg_mod.mask_projector(free)
         b = self.load - matvec(u_d)
-        z = solve_implicit(matvec, b, project=project, tol=tol)
+        z = solve_implicit(matvec, b, project=project, tol=tol,
+                           M_inv=M_inv)
         return z + u_d
 
-    def objective(self, young):
+    def objective(self, young, M_inv=None):
         """1/2 int_target ||u - t||^2 dA."""
-        u = self.displacement(young)
+        u = self.displacement(young, M_inv=M_inv)
         diff = u - self.target_field
         return 0.5 * jnp.sum(self.area_weight[:, None] * diff * diff)
 
@@ -91,9 +95,19 @@ class MaterialOptimizationProblem:
 
 def optimize(problem: MaterialOptimizationProblem, young0, *,
              steps: int = 50, learning_rate: float = 0.1,
-             verbose: bool = False):
+             verbose: bool = False, precond: str = "jacobi"):
     """Projected-Adam driver (reference uses OPT++ LBFGS / gradient
-    descent, ``MaterialOptimization.hh:340-394``)."""
+    descent, ``MaterialOptimization.hh:340-394``).
+
+    ``precond='multigrid'`` (Kuhn-grid meshes, dim 3): each step rebuilds
+    a variable-material V-cycle from the CURRENT young field and passes
+    it into the implicitly-differentiated solve — iteration counts stay
+    MG-bounded as the design develops contrast, and gradients are exact
+    regardless (the implicit function theorem is preconditioner-
+    independent).  The jitted value-and-grad step takes the hierarchy as
+    an ARGUMENT, so it compiles once."""
+    import functools
+
     import optax
 
     lo, hi = problem.bounds
@@ -101,12 +115,45 @@ def optimize(problem: MaterialOptimizationProblem, young0, *,
     theta = jnp.log(jnp.asarray(young0))
     opt = optax.adam(learning_rate)
     state = opt.init(theta)
+    history = []
+
+    if precond == "multigrid":
+        from ..ops.structured_mg import VarStructuredMG
+
+        mesh = problem.mesh
+        fl = 6 if mesh.dim == 3 else 3
+
+        def make_mg(young_np):
+            D = np.asarray(et.isotropic(
+                mesh.dim, jnp.asarray(young_np),
+                jnp.full(len(young_np), problem.poisson)))
+            return VarStructuredMG.build(
+                mesh, D, fixed_mask=jnp.asarray(problem.fixed_mask))
+
+        @jax.jit
+        def vg_mg(theta, mg):
+            def loss(th):
+                young = jnp.clip(jnp.exp(th), lo, hi)
+                M_inv = lambda r: mg.fine.from_channels(
+                    mg.precondition(mg.fine.to_channels(r)))
+                return problem.objective(young, M_inv=M_inv)
+            return jax.value_and_grad(loss)(theta)
+
+        for it in range(steps):
+            young_np = np.clip(np.exp(np.asarray(theta)), lo, hi)
+            mg = make_mg(young_np)
+            val, g = vg_mg(theta, mg)
+            updates, state = opt.update(g, state)
+            theta = optax.apply_updates(theta, updates)
+            history.append(float(val))
+            if verbose and it % 10 == 0:
+                print(f"material-opt it {it}: J = {float(val):.6e}")
+        return jnp.clip(jnp.exp(theta), lo, hi), history
 
     def loss(theta):
         return problem.objective(jnp.clip(jnp.exp(theta), lo, hi))
 
     vg = jax.value_and_grad(loss)
-    history = []
     for it in range(steps):
         val, g = vg(theta)
         updates, state = opt.update(g, state)

@@ -523,13 +523,15 @@ class StructuredMG:
 
     # -- pytree ---------------------------------------------------------
     def tree_flatten(self):
+        # lam rides as a CHILD (jnp scalars): per-problem spectral bounds
+        # must not retrigger jit retraces via static aux
         return ((self.fine, self.free_packed, self.fine_diag, self.levels,
-                 self.coarse_inv),
-                (self.lam, self.nu, self._coarse_lu))
+                 self.coarse_inv, jnp.asarray(self.lam)),
+                (self.nu, self._coarse_lu))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, aux[0], aux[1], aux[2])
+        return cls(*ch[:5], ch[5], aux[0], aux[1])
 
 
 from ..solvers.cg import CGResult as _CGResultShim  # noqa: E402
@@ -793,12 +795,12 @@ class VarStructuredMG:
 
     def tree_flatten(self):
         return ((self.fine, self.free_ch, self.fine_diag, self.levels,
-                 self.coarse_inv),
-                (self.lam, self.nu, self._coarse_lu))
+                 self.coarse_inv, jnp.asarray(self.lam)),
+                (self.nu, self._coarse_lu))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, aux[0], aux[1], aux[2])
+        return cls(*ch[:5], ch[5], aux[0], aux[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))

@@ -558,12 +558,12 @@ class PeriodicVarMG2D:
 
     def tree_flatten(self):
         return ((self.fine, self.fine_diag, self.levels,
-                 self.coarse_inv),
-                (self.lam, self.nu, self._coarse_lu))
+                 self.coarse_inv, jnp.asarray(self.lam)),
+                (self.nu, self._coarse_lu))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, aux[0], aux[1], aux[2])
+        return cls(*ch[:4], ch[4], aux[0], aux[1])
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
