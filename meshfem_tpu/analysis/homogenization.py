@@ -59,7 +59,7 @@ def canonical_strain(dim: int, i: int, dtype=jnp.float64):
 
 def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
                         maxiter: int = 100000, precond: str = "block",
-                        chebyshev_degree: int = 6):
+                        chebyshev_degree: int = 6, operator: str = "auto"):
     """Solve the fl(N) cell problems on a periodic simulator — as ONE block
     CG over all fl right-hand sides (the EBE kernel's gathers are row-count
     bound, so the multi-RHS solve costs barely more than a single one).
@@ -72,7 +72,14 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
     unstructured cells) | 'multigrid' (periodic torus V-cycle for
     Kuhn-GRID cells, ``ops/structured_periodic.py`` — MG-bounded
     iteration counts; raises off-grid).
-    Returns (w [fl, N, dim], iters list)."""
+
+    ``operator``: 'auto' runs the routed in-register multi-RHS SpMV
+    (``RoutedEBE.apply_block``) on TPU past ~16k elements for the
+    jacobi/block preconditioners — all fl cell problems amortize one
+    routing-plan dispatch sequence, wrapped in f64 iterative refinement
+    below f32 reach (the role ``PeriodicHomogenization.hh:48-53`` gives
+    one CHOLMOD factorization + 6 back-substitutions); 'routed' / 'ebe'
+    force a path.  Returns (w [fl, N, dim], iters list)."""
     from ..solvers import precond as pc
 
     dim = sim.dim
@@ -94,6 +101,11 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
         from ..ops.structured_periodic2d import solve_cell_problems_grid2d
 
         return solve_cell_problems_grid2d(sim, tol=tol, maxiter=maxiter)
+    if (operator == "routed"
+            or (operator == "auto" and precond in ("jacobi", "block")
+                and sim._routed_auto())):
+        return _solve_cell_problems_routed(sim, tol, maxiter, precond,
+                                           project)
     if precond == "jacobi":
         diag = sim.K_diagonal()
         safe = jnp.where(diag > 0, diag, 1.0)
@@ -127,6 +139,68 @@ def solve_cell_problems(sim: ElasticitySimulator, tol: float = 1e-11,
                           tol=tol, maxiter=maxiter)
     w = jnp.moveaxis(res.x, -1, 0)[:, jnp.asarray(sim.dof_map)]
     return w, [int(res.iters)] * fl
+
+
+def _solve_cell_problems_routed(sim, tol, maxiter, precond, project):
+    """All fl cell problems through ONE routed multi-RHS block CG
+    (``RoutedEBE.apply_block``): the routing plan is RHS-independent, so
+    the per-dispatch overhead that dominates the single-vector routed
+    apply amortizes across the block — the TPU answer to the reference's
+    factorize-once / 6-back-substitutions amortization
+    (``PeriodicHomogenization.hh:48-53``).  f32 block CG, wrapped in f64
+    iterative refinement (EBE f64 residuals) below f32 reach.
+
+    The translation projector (mean over the node axis) is permutation-
+    invariant, so it applies unchanged in the operator's internal
+    ordering."""
+    from ..solvers import precond as pc
+    from ..solvers.refine import refine as mp_refine
+
+    dim = sim.dim
+    fl = flat_len(dim)
+    f32 = jnp.float32
+    rk = sim.routed_kernel()
+    diag_i = rk.diagonal()
+    if precond == "jacobi":
+        safe = jnp.where(diag_i > 0, diag_i, 1.0)
+        M_inv = lambda r: r / (safe if r.ndim == 2 else safe[..., None])
+    else:  # block Jacobi, permuted into the internal ordering
+        blocks = pc.node_block_diagonal(jnp.asarray(sim.Ke, f32),
+                                        sim.elem_dofs, sim.num_dofs, dim)
+        if rk.order is not None:
+            blocks = blocks[rk.order]
+        M_inv = pc.block_jacobi_apply(pc.block_jacobi_inv(blocks))
+
+    B = jnp.stack([sim.constant_strain_load(
+        -canonical_strain(dim, i, sim.Ke.dtype)) for i in range(fl)],
+        axis=-1)                                           # [Nd, dim, fl]
+
+    def solve_lo_block(Bi, lo_tol, lo_maxiter):
+        res = cg_mod.cg_block(rk.apply_block, Bi, M_inv=M_inv,
+                              project=project, tol=lo_tol,
+                              maxiter=lo_maxiter)
+        return res
+
+    if sim.Ke.dtype != jnp.float64 or tol >= 1e-5:
+        res = solve_lo_block(project(rk.permute_in(jnp.asarray(B, f32))),
+                             tol, maxiter)
+        X = rk.permute_out(res.x).astype(sim.Ke.dtype)
+        iters = [int(res.iters)] * fl
+    else:
+        # f64 refinement: EBE f64 residuals, routed f32 block corrections
+        apply_hi = lambda X: project(sim.apply_K(X))
+        b64 = project(jnp.asarray(B, jnp.float64))
+
+        def solve_lo(R32):
+            res = solve_lo_block(project(rk.permute_in(R32)), 1e-4,
+                                 maxiter)
+            return rk.permute_out(res.x), res.iters
+
+        ref = mp_refine(apply_hi, solve_lo, b64, tol=tol)
+        X = ref.x
+        iters = [int(ref.inner_iters)] * fl
+    w = jnp.moveaxis(X, -1, 0)[:, jnp.asarray(sim.dof_map)]
+    return w, iters
 
 
 def periodic_simulator(mesh: FEMMesh, material, cell: BBox | None = None,

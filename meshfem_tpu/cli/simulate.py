@@ -25,7 +25,7 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--precond", default="jacobi",
                     choices=["jacobi", "block", "chebyshev", "twolevel",
-                             "twolevel-mult"])
+                             "twolevel-mult", "amg"])
     ap.add_argument("--operator", default="auto",
                     choices=["auto", "structured", "routed", "ebe"],
                     help="auto picks structured multigrid on Kuhn grids, "

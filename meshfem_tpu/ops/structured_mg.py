@@ -222,7 +222,12 @@ def restrict_h(rf, nc3):
 
 def _chebyshev(apply_A, diag, mask, lam_max, degree):
     """Fixed-degree Chebyshev smoother over Jacobi targeting
-    [lam_max/4, lam_max] — linear + symmetric (valid inside plain CG)."""
+    [lam_max/4, lam_max] — linear + symmetric (valid inside plain CG).
+
+    ``lam_max`` may arrive as a python float or (via the pytree children
+    of StructuredMG under x64) an f64 scalar; cast it to the iterate
+    dtype so the smoother never promotes an f32 CG carry."""
+    lam_max = jnp.asarray(lam_max, dtype=diag.dtype)
     lam_min = lam_max / 4.0
     theta = 0.5 * (lam_max + lam_min)
     delta = 0.5 * (lam_max - lam_min)

@@ -89,6 +89,7 @@ class ElasticitySimulator:
                                        self.num_dofs, self.dim)
         self._routed = None           # built lazily (routed_kernel)
         self._mg = None               # (fixed-mask key, StructuredMG)
+        self._amg = None              # (fixed-mask key, UnstructuredMG)
         self._twolevel = {}           # (mode, mask key, ordered) -> TwoLevel
 
         # Boundary condition state.
@@ -411,8 +412,9 @@ class ElasticitySimulator:
 
         ``precond``: 'jacobi' (pointwise) | 'twolevel' / 'twolevel-mult'
         (P1-coarse two-level, additive / multiplicative —
-        ``solvers/twolevel.py``, the high-contrast workhorse with bounded
-        iteration counts) | 'block' (exact d x d node
+        ``solvers/twolevel.py``) | 'amg' (device-resident multilevel
+        hierarchy, ``solvers/amg.py`` — bounded iteration counts with no
+        host callbacks; routed operator only) | 'block' (exact d x d node
         blocks) | 'chebyshev' (k-step polynomial in the block-Jacobi
         preconditioned operator — the high-contrast workhorse; see
         solvers/precond.py).  The solve runs in reduced DOF space; the
@@ -539,6 +541,43 @@ class ElasticitySimulator:
         d = self.dim
         f32 = jnp.float32
         free = ~fixed
+
+        if precond == "amg":
+            # device-resident multilevel hierarchy (solvers/amg.py): the
+            # full CHOLMOD role on arbitrary meshes — bounded iterations,
+            # zero host callbacks per application.
+            if self.no_rigid_motion or x0 is not None:
+                raise ValueError("precond='amg' does not support "
+                                 "no_rigid_motion or x0 yet")
+            from ..solvers.amg import UnstructuredMG
+
+            key = self.dirichlet_mask.tobytes()
+            if self._amg is None or self._amg[0] != key:
+                self._amg = (key, UnstructuredMG.build(
+                    self, fixed_mask=fixed, rk=rk))
+            mg = self._amg[1]
+            if b.dtype != jnp.float64 or tol >= 1e-5:
+                u_dof, res = mg.solve(jnp.asarray(b, f32),
+                                      fixed_values=jnp.asarray(vals, f32),
+                                      tol=tol, maxiter=maxiter)
+                u = u_dof.astype(b.dtype)[jnp.asarray(self.dof_map)]
+                return u, res
+            from ..solvers import refine as refine_mod
+
+            free64 = free.astype(jnp.float64)
+            u_d64 = jnp.where(fixed, vals, 0.0).astype(jnp.float64)
+            apply_hi = lambda x: self.apply_K(x) * free64
+            rhs64 = (jnp.asarray(b, jnp.float64)
+                     - self.apply_K(u_d64)) * free64
+
+            def solve_lo(r32):
+                u, res = mg.solve(r32, tol=1e-4, maxiter=min(maxiter, 200))
+                return u, res.iters
+
+            ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+            u_dof = ref.x + u_d64
+            u = u_dof[jnp.asarray(self.dof_map)]
+            return u, cg_mod.CGResult(u_dof, ref.inner_iters, ref.resnorm)
         free_i = rk.permute_in(jnp.asarray(free.astype(f32)))
         diag_i = rk.diagonal()
 

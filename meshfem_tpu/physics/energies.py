@@ -177,3 +177,153 @@ def tension_field_stvk_energy(F, lam, mu):
 
 ENERGY_DENSITIES["membrane_stvk"] = membrane_stvk_energy
 ENERGY_DENSITIES["tension_field_stvk"] = tension_field_stvk_energy
+
+
+# ---------------------------------------------------------------------------
+# F-based / C-based adaptors + tangent elasticity tensor
+# (reference ``EnergyDensities/EDensityAdaptors.hh``,
+# ``TangentElasticityTensor.hh``) — higher-order functions instead of CRTP
+# wrapper classes: densities are plain jax callables, so "adapting" is
+# composing, and every derivative member (PK2Stress, delta_PK2Stress,
+# delta_denergy) is one autodiff transform.
+# ---------------------------------------------------------------------------
+
+def spd_sqrt(C, iters: int = 18):
+    """Principal square root of an SPD matrix [..., n, n]
+    (``spdMatrixSqrt``) via the Denman-Beavers iteration.
+
+    NOT an eigendecomposition: autodiff through Jacobi rotations is
+    undefined at repeated eigenvalues (exactly the C = I point every
+    tangent-elasticity-tensor evaluation differentiates around), while
+    Denman-Beavers is a smooth composition of inverses — safe under
+    jvp everywhere C is SPD."""
+    d = C.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(d, dtype=C.dtype), C.shape)
+    # trace normalization keeps the iteration well-scaled for stiff C
+    s = jnp.trace(C, axis1=-2, axis2=-1)[..., None, None] / d
+    Y = C / s
+    Z = I
+    for _ in range(iters):
+        Yn = 0.5 * (Y + small_linalg.inv(Z))
+        Z = 0.5 * (Z + small_linalg.inv(Y))
+        Y = Yn
+    return Y * jnp.sqrt(s)
+
+
+def f_based_from_c_based(psi_C):
+    """C-based density Psi(C, *params) -> F-based density Psi(F, *params)
+    (``EnergyDensityFBasedFromCBased``).  F may be [..., 3, 2] — the
+    membrane case: C = F^T F is still 2x2, exactly the reference's
+    ``EmbeddingDimension = 3`` specialization."""
+    def psi_F(F, *params):
+        C = jnp.einsum("...ki,...kj->...ij", F, F)
+        return psi_C(C, *params)
+
+    return psi_F
+
+
+def c_based_from_f_based(psi_F):
+    """F-based density -> C-based density via the principal square root
+    F = sqrt(C) (``EnergyDensityCBasedFromFBased``; valid for isotropic /
+    rotation-invariant densities, same caveat as the reference)."""
+    def psi_C(C, *params):
+        return psi_F(spd_sqrt(C), *params)
+
+    return psi_C
+
+
+def pk2_stress(psi_C):
+    """Second Piola-Kirchhoff stress S = 2 dPsi/dC of a C-based density
+    (the reference's ``PK2Stress`` member)."""
+    def S(C, *params):
+        return 2.0 * jax.grad(
+            lambda C_: jnp.sum(psi_C(C_, *params)))(C)
+
+    return S
+
+
+def delta_pk2_stress(psi_C):
+    """Directional derivative dS = 2 d2Psi/dC2 : dC (``delta_PK2Stress``)."""
+    S = pk2_stress(psi_C)
+
+    def dS(C, dC, *params):
+        return jax.jvp(lambda C_: S(C_, *params), (C,), (dC,))[1]
+
+    return dS
+
+
+def tangent_elasticity_tensor(psi, dim: int, *params, F=None, C=None,
+                              c_based: bool = False):
+    """Tangent elasticity tensor dS/dE (flattened [fl, fl]) of a density
+    around a deformation (``tangentElasticityTensor``,
+    ``TangentElasticityTensor.hh:21-45``).  Around the identity this is
+    the linearized model's elasticity tensor.
+
+    psi: F-based density (default) or C-based (``c_based=True``).
+    Returns a :class:`~meshfem_tpu.fem.elasticity_tensor.ElasticityTensor`.
+    """
+    from ..fem import elasticity_tensor as et
+    from ..fem.flattening import flat_len, flat_rows_cols
+
+    psi_C = psi if c_based else c_based_from_f_based(psi)
+    if C is None:
+        if F is not None:
+            C = jnp.einsum("ki,kj->ij", F, F)
+        else:
+            C = jnp.eye(dim, dtype=jnp.result_type(float))
+    dS = delta_pk2_stress(psi_C)
+    fl = flat_len(dim)
+    r, c = flat_rows_cols(dim)
+    cols = []
+    for kl in range(fl):
+        # dC = 2 * dE; canonical strain basis kl has 1 on a diagonal slot
+        # or 1/2 on the two symmetric shear slots
+        dC = jnp.zeros((dim, dim)).at[r[kl], c[kl]].set(1.0)
+        dC = 0.5 * (dC + dC.T) * 2.0
+        cols.append(dS(C, dC, *params)[r, c])
+    D = jnp.stack(cols, axis=-1)
+    return et.ElasticityTensor(D)
+
+
+def projected_tangent_apply(energy_fn, sweeps: int = 10):
+    """PSD-projected delta-P operator (``AutoHessianProjection``,
+    ``EDensityAdaptors.hh``): the per-element d2Psi/dF2 — a
+    [d*d, d*d] symmetric matrix — is eigendecomposed (batched TPU-safe
+    Jacobi) and its negative eigenvalues clamped to zero before
+    contracting with dF.  The brute-force projection the reference uses
+    as ground truth for analytic per-energy projections; with autodiff it
+    IS the implementation."""
+    P = pk1_stress(energy_fn)
+
+    def dP_proj(F, dF, *params):
+        shape = F.shape
+        d2 = shape[-2] * shape[-1]
+
+        def pk1_flat(Ff):
+            return P(Ff.reshape(shape), *params).reshape(
+                Ff.shape[:-1] + (d2,))
+
+        Ff = F.reshape(shape[:-2] + (d2,))
+        # batched dense Hessian: jacfwd of PK1 over the flattened F
+        basis = jnp.eye(d2, dtype=F.dtype)
+        cols = [jax.jvp(pk1_flat, (Ff,),
+                        (jnp.broadcast_to(basis[i], Ff.shape),))[1]
+                for i in range(d2)]
+        H = jnp.stack(cols, axis=-1)                  # [..., d2, d2]
+        H = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+        w, V = small_linalg.eigh_jacobi(H, sweeps=sweeps)
+        w = jnp.maximum(w, 0.0)
+        dFf = dF.reshape(shape[:-2] + (d2,))
+        out = jnp.einsum("...ik,...k,...jk,...j->...i", V, w, V, dFf)
+        return out.reshape(shape)
+
+    return dP_proj
+
+
+def stvk_energy_C(C, lam, mu):
+    """C-based St. Venant-Kirchhoff (the reference's native StVK form,
+    ``StVenantKirchhoff.hh``): E = (C - I)/2."""
+    d = C.shape[-1]
+    E = 0.5 * (C - jnp.eye(d, dtype=C.dtype))
+    trE = jnp.trace(E, axis1=-2, axis2=-1)
+    return mu * jnp.sum(E * E, axis=(-2, -1)) + 0.5 * lam * trE ** 2

@@ -27,6 +27,124 @@ class ConvergenceReport:
     converged: bool = False
 
 
+# ---------------------------------------------------------------------------
+# Controller policies (reference ``newton_optimizer/HessianProjectionController.hh``
+# and ``HessianUpdateController.hh``): small host-side state machines that
+# decide per iteration whether to use the PSD-projected Hessian and whether
+# to refresh the (expensive) Hessian anchor point.
+# ---------------------------------------------------------------------------
+
+class HessianProjectionController:
+    """Base policy: should this iteration use the projected Hessian?"""
+
+    def should_use_projection(self) -> bool:
+        raise NotImplementedError
+
+    def notify_definiteness(self, is_indefinite: bool):
+        pass
+
+    def reset(self):
+        pass
+
+
+class HessianProjectionAlways(HessianProjectionController):
+    def should_use_projection(self):
+        return True
+
+
+class HessianProjectionNever(HessianProjectionController):
+    def should_use_projection(self):
+        return False
+
+
+class HessianProjectionAdaptive(HessianProjectionController):
+    """Hysteresis policy (``HessianProjectionAdaptive``): start projected;
+    after ``steps_before_switch`` consecutive definite iterations drop the
+    projection, and switch back after ``indefinite_before_switch``
+    consecutive indefinite ones."""
+
+    def __init__(self, steps_before_switch: int = 15,
+                 indefinite_before_switch: int = 5):
+        self.steps_before_switch = steps_before_switch
+        self.indefinite_before_switch = indefinite_before_switch
+        self.reset()
+
+    def reset(self):
+        self.projection_active = True
+        self._counter = self.steps_before_switch
+
+    def should_use_projection(self):
+        return self.projection_active
+
+    def notify_definiteness(self, is_indefinite: bool):
+        if self.projection_active:
+            if not is_indefinite:
+                self._counter -= 1
+                if self._counter == 0:
+                    self.projection_active = False
+                    self._counter = self.indefinite_before_switch
+            else:
+                self._counter = self.steps_before_switch
+        else:
+            if is_indefinite:
+                self._counter -= 1
+                if self._counter == 0:
+                    self.projection_active = True
+                    self._counter = self.steps_before_switch
+            else:
+                self._counter = self.indefinite_before_switch
+
+
+class HessianUpdateController:
+    """Base policy: refresh the Hessian anchor this iteration?
+    (``HessianUpdateController.hh`` — reuse of an expensive Hessian
+    between Newton iterations; with a matrix-free HVP the 'factorization'
+    being reused is the ANCHOR POINT x_H at which H(x_H) v is applied)."""
+
+    def needs_update(self) -> bool:
+        raise NotImplementedError
+
+    def new_hessian(self, is_indefinite: bool):
+        pass
+
+    def reused_hessian(self):
+        pass
+
+    def reset(self):
+        pass
+
+
+class HessianUpdateAlways(HessianUpdateController):
+    def needs_update(self):
+        return True
+
+
+class HessianUpdateNever(HessianUpdateController):
+    def needs_update(self):
+        return False
+
+
+class HessianUpdatePeriodic(HessianUpdateController):
+    """Refresh every ``period`` iterations (``HessianUpdatePeriodic``)."""
+
+    def __init__(self, period: int = 2):
+        self.period = period
+        self._counter = 0
+
+    def reset(self):
+        self._counter = 0
+
+    def needs_update(self):
+        return self._counter == 0
+
+    def new_hessian(self, is_indefinite: bool):
+        self._counter = self.period
+
+    def reused_hessian(self):
+        if self._counter > 0:
+            self._counter -= 1
+
+
 @dataclasses.dataclass
 class NewtonProblem:
     """Matrix-free Newton problem (reference NewtonProblem interface,
@@ -39,6 +157,7 @@ class NewtonProblem:
     project: Callable = None        # feasible-subspace projector
     lower: object = None            # elementwise lower bounds (optional)
     upper: object = None            # elementwise upper bounds (optional)
+    hessian_apply_projected: Callable = None  # PSD-projected (x, v) -> [n]
 
     def apply_bound_constraints(self, x):
         """Clamp into the feasible box (``applyBoundConstraints``,
@@ -66,18 +185,34 @@ class NewtonProblem:
 def newton_optimize(problem: NewtonProblem, x0, *, gradTol: float = 1e-8,
                     maxiter: int = 50, cg_tol: float = 1e-8,
                     cg_maxiter: int = 2000, tau0: float = 0.0,
+                    projection_controller: HessianProjectionController
+                    | None = None,
+                    update_controller: HessianUpdateController | None = None,
                     verbose: bool = False):
     """Minimize the problem energy (optionally box-constrained: an
     active-set projected Newton — the working-set analog of the reference's
-    BoundConstraint machinery).  Returns (x, ConvergenceReport)."""
+    BoundConstraint machinery).  Returns (x, ConvergenceReport).
+
+    ``projection_controller`` / ``update_controller``: per-iteration
+    policies (reference ``HessianProjectionController.hh`` /
+    ``HessianUpdateController.hh``).  The projection policy picks between
+    ``problem.hessian_apply_projected`` (when provided) and the exact
+    Hessian; the update policy decides whether to refresh the Hessian
+    ANCHOR point (reusing H(x_old) across iterations — the matrix-free
+    analog of reusing an expensive factorization)."""
     x = jnp.asarray(x0)
     has_bounds = problem.lower is not None or problem.upper is not None
     if has_bounds:
         x = problem.apply_bound_constraints(x)   # feasibility step
     base_project = problem.project or (lambda v: v)
     metric = problem.metric_apply or (lambda v: v)
+    # reference default: use the projection whenever the problem provides
+    # one (HessianProjectionAlways; harmless no-op otherwise)
+    proj_ctrl = projection_controller or HessianProjectionAlways()
+    upd_ctrl = update_controller or HessianUpdateAlways()
     report = ConvergenceReport([], [], [], [])
     tau = tau0
+    x_H = None                     # Hessian anchor (update policy)
     for it in range(maxiter):
         g_raw = base_project(problem.gradient(x))
         if has_bounds:
@@ -93,11 +228,19 @@ def newton_optimize(problem: NewtonProblem, x0, *, gradTol: float = 1e-8,
         if gn < gradTol:
             report.converged = True
             break
+        if x_H is None or upd_ctrl.needs_update():
+            x_H, fresh_H = x, True
+        else:
+            fresh_H = False
+        use_proj = (problem.hessian_apply_projected is not None
+                    and proj_ctrl.should_use_projection())
+        happly = (problem.hessian_apply_projected if use_proj
+                  else problem.hessian_apply)
         # Solve (H + tau M) dx = -g, increasing tau when CG sees
         # non-positive curvature (reference tau-regularization policy).
-        for _ in range(12):
-            H = lambda v: project(problem.hessian_apply(x, v)
-                                  + tau * metric(v))
+        indefinite = False
+        for attempt in range(12):
+            H = lambda v: project(happly(x_H, v) + tau * metric(v))
             res = cg_mod.cg(H, -g, project=project, tol=cg_tol,
                             maxiter=cg_maxiter)
             dx = res.x
@@ -106,7 +249,13 @@ def newton_optimize(problem: NewtonProblem, x0, *, gradTol: float = 1e-8,
             descent = float(jnp.vdot(dx, g))
             if curv > 0 and descent < 0:
                 break
+            indefinite = True
             tau = max(4.0 * tau, 1e-6)
+        proj_ctrl.notify_definiteness(indefinite)
+        if fresh_H:
+            upd_ctrl.new_hessian(indefinite)
+        else:
+            upd_ctrl.reused_hessian()
         # Backtracking line search (Armijo), projected onto the bounds.
         e0 = report.energy[-1]
         alpha = 1.0

@@ -385,7 +385,7 @@ def _round_rows(n_src, blk_rows_req):
     return rows, blk
 
 
-def plan_copy(src_ids, n_src: int, blk_rows: int = 8448) -> CopyPlan:
+def plan_copy(src_ids, n_src: int, blk_rows: int = 12288) -> CopyPlan:
     """Compile a routed gather (out[i] = src[src_ids[i]]; -1 -> 0.0)."""
     src_ids = np.ascontiguousarray(np.asarray(src_ids, np.int64).reshape(-1))
     n_out = len(src_ids)
@@ -484,7 +484,7 @@ def _emit_copy_bucket(sel, sid, vblk, ch, blk_rows, buckets, pos_of,
 
 
 def plan_reduce(dst_ids, n_out: int, n_src: int,
-                blk_rows: int = 8192, chain_budget: int = BUCKETS[-1]
+                blk_rows: int = 12288, chain_budget: int = BUCKETS[-1]
                 ) -> ReducePlan:
     """Compile a routed deterministic segment-sum over ``src[i] -> dst_ids[i]``.
 

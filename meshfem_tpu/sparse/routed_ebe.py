@@ -317,6 +317,34 @@ class RoutedEBE:
             return y.reshape(u.shape)
         return y.reshape(d, self.num_dofs).T.reshape(u.shape)
 
+    def apply_block(self, U):
+        """Multi-RHS apply: ``U [N, d, m] -> A @ U`` (also ``[N, m]`` when
+        d == 1).  The routing PLAN is RHS-independent (reference:
+        ``PeriodicHomogenization.hh:48-53`` amortizes one CHOLMOD
+        factorization over 6 back-substitutions), so the block apply runs
+        the column applies through the SAME plan inside one jitted
+        dispatch sequence.  The columns are an unrolled loop, not a vmap:
+        vmapping these pallas calls batches every routing intermediate
+        into [m, ...] HLO temps — measured 2.3x slower per RHS at m = 2
+        and RESOURCE_EXHAUSTED at m = 6 on a 1.17M-DOF problem — while
+        the unrolled form lets XLA schedule the m plans back-to-back with
+        per-column temps and matches the single-apply per-RHS cost."""
+        Eb, n = self.KeB.shape[0], self.KeB.shape[1]
+        d = self.vector_dim
+        m = U.shape[-1]
+        U = U.astype(jnp.float32)
+        src = jnp.transpose(U.reshape(self.num_dofs, d, m),
+                            (2, 1, 0)).reshape(m, -1)   # [m, d*N] planes
+        outs = []
+        for j in range(m):
+            ue = self.gather(src[j], interpret=self.interpret) \
+                .reshape(d, Eb, n, 128)
+            fe = jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
+            outs.append(self._scatter(fe.reshape(-1)))      # [d*N]
+        y = jnp.stack(outs)                                 # [m, d*N]
+        out = jnp.transpose(y.reshape(m, d, self.num_dofs), (2, 1, 0))
+        return out.reshape(U.shape)
+
     def diagonal(self):
         """Assembled operator diagonal (Jacobi), via the scatter plan."""
         d = self.vector_dim

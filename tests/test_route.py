@@ -275,3 +275,74 @@ def test_plans_handle_all_padding_maps():
     r = plan_reduce(np.full(2048, -1, np.int64), 256, 128)
     out2 = r(jnp.arange(128, dtype=jnp.float32), interpret=True)
     assert out2.shape == (256,) and float(abs(out2).max()) == 0.0
+
+
+def test_routed_ebe_apply_block_matches_single(rng):
+    """Multi-RHS apply_block == column-by-column single applies (the
+    routing plan is RHS-independent; vmapped pallas kernels)."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.ops import element_matrices as em
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tet(5, 4, 3)
+    mesh = FEMMesh(V, T, degree=2)
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    D = et.isotropic(3, 200.0, 0.3)
+    M = em.fused_matrix_for(D, 3, 2, jnp.float32)
+    Ke = em.element_elasticity_fused_apply(
+        jnp.asarray(gl, jnp.float32), jnp.asarray(vol, jnp.float32), M, 10)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3,
+                         coords=mesh.node_positions)
+    U = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, 6)), jnp.float32)
+    Ui = rk.permute_in(U)
+    Y = np.asarray(rk.apply_block(Ui))
+    assert Y.shape == Ui.shape
+    for j in range(6):
+        yj = np.asarray(rk(Ui[:, :, j]))
+        scale = np.abs(yj).max()
+        np.testing.assert_allclose(Y[:, :, j] / scale, yj / scale,
+                                   atol=5e-6)
+
+
+def test_routed_ebe_apply_block_scalar(rng):
+    """d == 1 block apply ([N, m])."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+    V, T = generators.grid_tri(7, 6)
+    mesh = FEMMesh(V, T, degree=1, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 2)
+    Ke = jnp.asarray(jnp.einsum("eid,ejd,e->eij", gl, gl, jnp.abs(vol)),
+                     jnp.float32)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 1)
+    U = jnp.asarray(rng.standard_normal((mesh.num_nodes, 4)), jnp.float32)
+    Y = np.asarray(rk.apply_block(U))
+    for j in range(4):
+        yj = np.asarray(rk(U[:, j]))
+        np.testing.assert_allclose(Y[:, j], yj,
+                                   atol=np.abs(yj).max() * 1e-5)
+
+
+def test_homogenize_routed_cell_problems(rng):
+    """operator='routed' cell problems reproduce the EBE block-CG
+    homogenized tensor (f32 block CG + f64 refinement path)."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.physics import Material
+    from meshfem_tpu.analysis import homogenization as hom
+
+    V, T = generators.grid_tri(6, 6)
+    mesh = FEMMesh(V, T, degree=2)
+    mat = Material.isotropic(2, 1.0, 0.3)
+    sim = hom.periodic_simulator(mesh, mat)
+    w0, _ = hom.solve_cell_problems(sim, tol=1e-11, precond="block",
+                                    operator="ebe")
+    w1, _ = hom.solve_cell_problems(sim, tol=1e-10, precond="block",
+                                    operator="routed")
+    Ch0 = hom.homogenized_tensor_stress_form(sim, w0)
+    Ch1 = hom.homogenized_tensor_stress_form(sim, w1)
+    np.testing.assert_allclose(np.asarray(Ch1), np.asarray(Ch0),
+                               rtol=1e-7, atol=1e-9)
