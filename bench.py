@@ -368,6 +368,45 @@ def _run_sections(out, extra, timings):
     except Exception as e:  # noqa: BLE001
         extra["refined_solve_error"] = f"{type(e).__name__}: {e}"[:300]
 
+    # ---- device-resident unstructured multigrid (solvers/amg.py) ---------
+    # The CHOLMOD role on ARBITRARY meshes: multilevel V-cycle (P2 routed ->
+    # nested P1 routed -> aggregation -> dense), f64-refined to 1e-10 —
+    # bounded inner iterations at 1.17M DOF with zero host callbacks.
+    try:
+        from meshfem_tpu.physics import ElasticitySimulator, Material
+        from meshfem_tpu.solvers.amg import UnstructuredMG
+
+        sim_a = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
+        sim_a._routed = rk if rk is not None else None
+        sim_a.dirichlet_mask[:] = fixed
+        t0 = time.time()
+        amg = UnstructuredMG.build(sim_a, fixed_mask=fixed, rk=rk)
+        timings["amg_build_s"] = round(time.time() - t0, 2)
+        b32a = jnp.asarray(load, dt)
+        t0 = time.time()
+        ua, ra = amg.solve(b32a, tol=1e-5, maxiter=200)
+        jax.block_until_ready(ua)
+        timings["amg_first_solve_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ua2, ra2 = amg.solve(b32a * 1.0001, tol=1e-5, maxiter=200)
+        jax.block_until_ready(ua2)
+        extra["amg_solve_s_f32"] = round(time.time() - t0, 2)
+        extra["amg_cg_iters"] = int(ra2.iters)
+        extra["amg_levels"] = 2 + len(amg.levels)
+
+        def solve_lo_amg(r32):
+            u, r = amg.solve(r32, tol=1e-4, maxiter=150)
+            return u, r.iters
+
+        t0 = time.time()
+        refa = mp_refine(apply_hi, solve_lo_amg, b64, tol=1e-10)
+        extra["amg_refined_solve_s"] = round(time.time() - t0, 2)
+        extra["amg_refined_relres"] = float(f"{refa.resnorm:.3e}")
+        extra["amg_refined_inner_iters"] = refa.inner_iters
+        extra["amg_refined_rounds"] = refa.rounds
+    except Exception as e:  # noqa: BLE001 — partial metrics beat none
+        extra["amg_error"] = f"{type(e).__name__}: {e}"[:300]
+
     # ---- structured geometric multigrid (ops/structured_mg.py) -----------
     # The CHOLMOD-role solve for structured grids: V-cycle-preconditioned
     # CG (f32, HIGHEST-precision convs) + f64 refinement to 1e-10.  Only
@@ -430,17 +469,20 @@ def _run_sections(out, extra, timings):
         lb = np.zeros((bmesh.num_nodes, 3))
         lb[Xb[:, 2] > Xb[:, 2].max() - 0.05 * np.ptp(Xb[:, 2]), 0] = 1.0
         bsim.neumann_load = jnp.asarray(lb)
+        ball_precond = "amg" if jax.default_backend() == "tpu" else "jacobi"
         t0 = time.time()
-        ub, rb = bsim.solve(tol=1e-10, operator="auto")
+        ub, rb = bsim.solve(tol=1e-10, operator="auto",
+                            precond=ball_precond)
         jax.block_until_ready(ub)
         t_first = time.time() - t0
         t0 = time.time()
         ub2, rb2 = bsim.solve(tol=1e-10, extra_load=jnp.asarray(lb) * 1e-4,
-                              operator="auto")
+                              operator="auto", precond=ball_precond)
         jax.block_until_ready(ub2)
         timings["ball_solve_first_s"] = round(t_first, 2)
         extra.update(
             ball_dofs=bmesh.num_nodes * 3,
+            ball_precond=ball_precond,
             ball_solve_s=round(time.time() - t0, 2),
             ball_solve_relres=float(f"{float(rb2.resnorm):.3e}"),
             ball_solve_inner_iters=int(rb2.iters),

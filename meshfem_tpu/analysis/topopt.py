@@ -1,0 +1,225 @@
+"""SIMP topology optimization on structured grids, solved end-to-end on
+TPU with the variable-material geometric multigrid.
+
+Exceeds the reference's material-field optimization surface
+(``MaterialOptimization.hh:259,340`` — gradient/descent over per-element
+material parameters with CHOLMOD solves): here the state solve is the
+device-resident V-cycle MG-PCG (``ops/structured_mg.VarStructuredMG``),
+the density filter is an XLA convolution, the compliance gradient is the
+exact adjoint (self-adjoint for compliance: zero extra solves), and a
+``jax.custom_vjp`` wrapper exposes the displacement field as a
+differentiable function of the densities (implicit-function-theorem
+adjoint — one extra MG solve per cotangent) for arbitrary objectives.
+
+Standard SIMP setup (Sigmund's 88-line algorithm, re-laid for TPU):
+  E(rho) = E_min + rho_f^p (E0 - E_min)      per grid cell,
+  rho_f  = conic density filter of rho       (radius ``rmin`` cells),
+  min  c(rho) = f^T u(rho)   s.t.  K(rho) u = f,  mean(rho_f) <= volfrac,
+optimality-criteria update with bisection on the volume multiplier.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh import generators
+from ..mesh.femmesh import FEMMesh
+from ..fem import elasticity_tensor as et
+from ..ops import element_matrices as em
+
+
+def _conic_kernel(rmin: float, dim: int = 3):
+    r = int(np.ceil(rmin)) - 1
+    ax = np.arange(-r, r + 1)
+    grids = np.meshgrid(*([ax] * dim), indexing="ij")
+    dist = np.sqrt(sum(g.astype(float) ** 2 for g in grids))
+    w = np.maximum(rmin - dist, 0.0)
+    return jnp.asarray(w)
+
+
+def _filter_conv(x, kern):
+    dim = x.ndim
+    pad = [(s // 2, s // 2) for s in kern.shape]
+    xk = x[None, None]
+    kk = kern[None, None].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(xk, kk, (1,) * dim, pad)
+    return y[0, 0]
+
+
+@dataclasses.dataclass
+class ComplianceTopOpt:
+    """3D cantilever compliance minimization on an nx x ny x nz cell grid.
+
+    The state solve rebuilds the variable-material MG hierarchy per design
+    (per-cell P1 matrices + level reductions are einsums over the updated
+    material field) and runs one jitted MG-PCG dispatch."""
+
+    nx: int
+    ny: int
+    nz: int
+    volfrac: float = 0.4
+    penal: float = 3.0
+    rmin: float = 1.5
+    E0: float = 1.0
+    E_min: float = 1e-6
+    nu: float = 0.3
+    dtype: object = jnp.float32
+    solve_tol: float = 1e-5
+
+    def __post_init__(self):
+        n3 = (self.nx, self.ny, self.nz)
+        V, T = generators.grid_tet(*n3)
+        self.mesh = FEMMesh(V, T, degree=2)
+        self.tets_per_cell = self.mesh.num_elements // (
+            self.nx * self.ny * self.nz)
+        X = np.asarray(self.mesh.node_positions)
+        # cantilever: clamp x=0 face, unit downward (-y) load on the free
+        # end's lower edge (x = max, z = 0)
+        self.fixed = np.zeros((self.mesh.num_nodes, 3), bool)
+        self.fixed[X[:, 0] < 1e-9] = True
+        load = np.zeros((self.mesh.num_nodes, 3))
+        tip = (X[:, 0] > X[:, 0].max() - 1e-9) & (X[:, 2] < 1e-9)
+        load[tip, 1] = -1.0 / max(tip.sum(), 1)
+        self.load = jnp.asarray(load, self.dtype)
+        self.kern = _conic_kernel(self.rmin)
+        # unit-modulus per-tet element matrices: the SIMP gradient needs
+        # per-cell strain energies at E = 1 (dK/drho is linear in them)
+        g = self.mesh.geometry()
+        D_unit = et.isotropic(3, 1.0, self.nu)
+        M_fused = em.fused_matrix_for(D_unit, 3, 2, jnp.float32)
+        self.Ke_unit = em.element_elasticity_fused_apply(
+            jnp.asarray(g.grad_lambda, jnp.float32),
+            jnp.asarray(g.volume, jnp.float32), M_fused,
+            self.mesh.nodes_per_elem)
+        self._elem_nodes = jnp.asarray(self.mesh.elem_nodes)
+
+    # -- densities -> physical field ------------------------------------
+    def filtered(self, rho):
+        w = _filter_conv(jnp.ones_like(rho), self.kern)
+        return _filter_conv(rho, self.kern) / w
+
+    def filter_adjoint(self, g):
+        w = _filter_conv(jnp.ones_like(g), self.kern)
+        return _filter_conv(g / w, self.kern)
+
+    def modulus(self, rho_f):
+        return self.E_min + rho_f ** self.penal * (self.E0 - self.E_min)
+
+    def _mg_for(self, rho_f):
+        from ..ops.structured_mg import VarStructuredMG
+        from ..physics.materials import MaterialField
+
+        E_cell = self.modulus(rho_f).reshape(-1)
+        E_elem = jnp.repeat(E_cell, self.tets_per_cell)
+        mats = MaterialField.isotropic_field(
+            3, E_elem, jnp.full(E_elem.shape, self.nu))
+        return VarStructuredMG.build(self.mesh, mats.D,
+                                     fixed_mask=jnp.asarray(self.fixed),
+                                     dtype=self.dtype)
+
+    def solve(self, rho, tol=None):
+        """(u [N, 3], iters) for the PHYSICAL (filtered) densities."""
+        rho_f = self.filtered(jnp.asarray(rho, self.dtype))
+        mg = self._mg_for(rho_f)
+        u, res = mg.solve(self.load, tol=tol or self.solve_tol,
+                          maxiter=300)
+        return u, int(res.iters), rho_f, mg
+
+    # -- compliance + exact adjoint gradient -----------------------------
+    def cell_energies(self, u, v=None):
+        """[nx, ny, nz] per-cell bilinear strain energies at E = 1:
+        sum over the cell's tets of u_e^T Ke_unit v_e."""
+        v = u if v is None else v
+        ue = jnp.asarray(u, jnp.float32)[self._elem_nodes].reshape(
+            self.mesh.num_elements, -1)
+        ve = jnp.asarray(v, jnp.float32)[self._elem_nodes].reshape(
+            self.mesh.num_elements, -1)
+        w = jnp.einsum("eij,ei,ej->e", self.Ke_unit, ue, ve)
+        w = w.reshape(-1, self.tets_per_cell).sum(axis=1)
+        return w.reshape(self.nx, self.ny, self.nz)
+
+    def compliance_and_grad(self, rho):
+        """(c, dc/drho [nx, ny, nz], iters).  Compliance is self-adjoint:
+        dc/dE_cell = -w_cell(u, u), no extra solve; the filter chain rule
+        is its (self-adjoint, normalized) convolution."""
+        u, iters, rho_f, _ = self.solve(rho)
+        c = float(jnp.vdot(self.load, jnp.asarray(u, self.dtype)))
+        w = self.cell_energies(u)
+        dE = self.penal * rho_f ** (self.penal - 1.0) \
+            * (self.E0 - self.E_min)
+        dc_f = -(dE * w)                      # d c / d rho_f
+        dc = self.filter_adjoint(dc_f)
+        return c, dc, iters
+
+    # -- optimality criteria ----------------------------------------------
+    def oc_update(self, rho, dc, move=0.2):
+        """Classic OC bisection on the volume multiplier (filtered volume
+        constraint; dv/drho via the filter adjoint of ones)."""
+        dv = self.filter_adjoint(jnp.ones_like(rho) / rho.size)
+        lo, hi = 1e-11, 1e11
+        dcn = jnp.minimum(dc, 0.0)            # descent part only
+        for _ in range(80):
+            lam = 0.5 * (lo + hi)
+            scale = jnp.sqrt(-dcn / (lam * dv))
+            cand = jnp.clip(rho * scale, jnp.maximum(rho - move, 0.0),
+                            jnp.minimum(rho + move, 1.0))
+            vol = float(jnp.mean(self.filtered(cand)))
+            if vol > self.volfrac:
+                lo = lam
+            else:
+                hi = lam
+        return cand
+
+    def run(self, iters: int = 30, rho0=None, verbose: bool = False,
+            callback=None):
+        rho = jnp.full((self.nx, self.ny, self.nz),
+                       self.volfrac, self.dtype) \
+            if rho0 is None else jnp.asarray(rho0, self.dtype)
+        history = []
+        for it in range(iters):
+            c, dc, inner = self.compliance_and_grad(rho)
+            rho = self.oc_update(rho, dc)
+            vol = float(jnp.mean(self.filtered(rho)))
+            history.append(dict(it=it, compliance=c, volume=vol,
+                                inner_iters=inner))
+            if verbose:
+                print(f"it {it:3d}  c={c:.6e}  vol={vol:.3f}  "
+                      f"inner={inner}")
+            if callback:
+                callback(it, rho, history[-1])
+        return rho, history
+
+
+def differentiable_displacement(topopt: ComplianceTopOpt):
+    """u(rho) as a jax-differentiable function via the implicit-function
+    theorem: the VJP solves the (self-adjoint) adjoint system with the
+    same MG hierarchy and contracts -lambda^T dK/drho u through the
+    per-cell unit energies.  Intended for EAGER use (each call runs the
+    MG solver); arbitrary objectives J(u) then get d J / d rho by
+    jax.grad of J(differentiable_displacement(...)(rho))."""
+
+    @jax.custom_vjp
+    def u_of_rho(rho):
+        u, _, _, _ = topopt.solve(rho)
+        return u
+
+    def fwd(rho):
+        u, _, rho_f, mg = topopt.solve(rho)
+        return u, (rho, rho_f, u, mg)
+
+    def bwd(resids, gbar):
+        rho, rho_f, u, mg = resids
+        lam_u, res = mg.solve(jnp.asarray(gbar, topopt.dtype),
+                              tol=topopt.solve_tol, maxiter=300)
+        w = topopt.cell_energies(lam_u, u)
+        dE = topopt.penal * rho_f ** (topopt.penal - 1.0) \
+            * (topopt.E0 - topopt.E_min)
+        g_rho = topopt.filter_adjoint(-(dE * w))
+        return (g_rho.astype(jnp.asarray(rho).dtype),)
+
+    u_of_rho.defvjp(fwd, bwd)
+    return u_of_rho

@@ -195,17 +195,131 @@ class DomainDecomposition:
         return int(self.halo_counts.sum()) * self.d
 
 
+@dataclasses.dataclass
+class DDCoarse:
+    """Replicated aggregation-coarse level for the DD solve: each shard
+    restricts its OWNED residual rows through a composed
+    P2-dof -> P1-vertex -> rigid-body-aggregate prolongator (per-dof: two
+    target aggregates with [d, nm] weight blocks), the tiny aggregate
+    residual is psum-replicated, solved by a replicated dense
+    pseudo-inverse, and prolonged shard-locally.  Additive with the
+    local smoother: M = S_block + P C^-1 P^T — a valid SPD two-level
+    preconditioner, so DD iteration counts stay BOUNDED instead of
+    growing with sqrt(kappa) (the CHOLMOD-robustness role at multi-chip
+    scale; compare ``solvers/amg.py`` single-chip).  All operands are
+    uniform [S, Nl, ...] arrays — SPMD-stackable, unlike per-shard routed
+    plans whose bucket structures differ per shard."""
+
+    aggA: jnp.ndarray     # [S, Nl] aggregate of endpoint vertex A
+    aggB: jnp.ndarray     # [S, Nl]
+    WA: jnp.ndarray       # [S, Nl, d, nm] weight blocks (0 on padding)
+    WB: jnp.ndarray       # [S, Nl, d, nm]
+    Cinv: jnp.ndarray     # [NA * nm, NA * nm] replicated dense pinv
+    n_agg: int
+    nm: int
+
+    @classmethod
+    def from_simulator(cls, sim, dd: "DomainDecomposition",
+                       agg_size: int = 64, free_mask=None,
+                       shift_rel: float = 0.0) -> "DDCoarse":
+        """Host build: P1 Galerkin (exactly nested in P2) -> rigid-body
+        aggregation Galerkin -> dense pinv.
+
+        The coarse chain is MASKED through the prolongator (rows zeroed
+        at fixed dofs, ``free_mask`` defaulting to ~sim.dirichlet_mask —
+        the ``solvers/amg.py`` treatment): an unmasked floating coarse
+        matrix has the rigid modes as an EXACT null space, and a
+        shift-regularized inverse injects O(1/shift) rigid components
+        that the Dirichlet projector then converts into large spurious
+        corrections (measured: CG converges to a wrong solution).  For
+        genuinely floating problems (periodic homogenization) pass the
+        all-free mask and a small ``shift_rel``; the outer translation
+        projector owns the nullspace there."""
+        import scipy.sparse as sp
+
+        from ..ops import element_matrices as em
+        from ..sparse import assembly
+        from ..solvers.amg import (_rcb_chunks, _rigid_modes,
+                                   _tentative_prolongator, _scipy_P)
+
+        mesh = sim.mesh
+        d = sim.dim
+        ND = sim.num_dofs
+        dof_map = np.asarray(sim.dof_map)
+
+        vdofs = dof_map[np.asarray(mesh.vertex_nodes)]
+        cuniq, cidx = np.unique(vdofs, return_inverse=True)
+        NC = len(cuniq)
+        ep = mesh.node_endpoint_vertices()
+        first = np.zeros(ND, np.int64)
+        u_dofs, firsts = np.unique(dof_map, return_index=True)
+        first[u_dofs] = firsts
+        epd = ep[first]
+        cA, cB = cidx[epd[:, 0]], cidx[epd[:, 1]]       # per P2 dof
+
+        g = sim.geom
+        Ke1 = em.element_elasticity(g.grad_lambda, g.volume, sim.D, 1)
+        elem_c = cidx[np.asarray(mesh.F)]
+        A1 = assembly.assemble_scipy(np.asarray(Ke1), elem_c, NC,
+                                     d=d).tocsr()
+
+        if free_mask is None:
+            free_mask = ~np.asarray(sim.dirichlet_mask, bool)
+        free = np.asarray(free_mask, bool).reshape(ND, d)
+        free1 = free[cuniq]                             # [NC, d]
+
+        pos_c = np.zeros((NC, mesh.node_positions.shape[1]))
+        pos_c[cidx] = np.asarray(mesh.V)
+        nm = 3 if d == 2 else 6
+        agg_of, n_agg = _rcb_chunks(pos_c, agg_size)
+        B = _rigid_modes(pos_c, d) * free1[:, :, None]  # masked rows
+        Pblk, _ = _tentative_prolongator(B, agg_of, n_agg)
+        P = _scipy_P(Pblk, agg_of, n_agg)
+        Ac = (P.T @ A1 @ P).tocsr()
+        Ad = np.asarray(Ac.todense())
+        if shift_rel:
+            shift = shift_rel * max(float(np.abs(Ad.diagonal()).mean()),
+                                    1e-300)
+            Ad = Ad + shift * np.eye(len(Ad))
+        Cinv = np.linalg.pinv(Ad, rcond=1e-10, hermitian=True)
+
+        # per-dof composed transfers in the DD's permuted+padded layout
+        S, Nl = dd.n_shards, dd.Nl
+        dt = dd.Ke_int.dtype
+        aggA = np.zeros((S * Nl,), np.int32)
+        aggB = np.zeros((S * Nl,), np.int32)
+        WA = np.zeros((S * Nl, d, nm), dt)
+        WB = np.zeros((S * Nl, d, nm), dt)
+        new_of_old = dd.perm                            # old dof -> new
+        aggA[new_of_old] = agg_of[cA]
+        aggB[new_of_old] = agg_of[cB]
+        # fine rows masked too: Pbar = M_free P (keeps the Galerkin chain
+        # consistent with the masked coarse matrix)
+        WA[new_of_old] = 0.5 * Pblk[cA] * free[:, :, None]
+        WB[new_of_old] = 0.5 * Pblk[cB] * free[:, :, None]
+        return cls(jnp.asarray(aggA.reshape(S, Nl)),
+                   jnp.asarray(aggB.reshape(S, Nl)),
+                   jnp.asarray(WA.reshape(S, Nl, d, nm)),
+                   jnp.asarray(WB.reshape(S, Nl, d, nm)),
+                   jnp.asarray(Cinv, dt), n_agg, nm)
+
+
 @functools.lru_cache(maxsize=32)
-def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block, L):
-    """Jitted shard_map running L CG iterations on carried state."""
+def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block,
+                 coarse_dims, L):
+    """Jitted shard_map running L CG iterations on carried state.
+    ``coarse_dims``: None or (n_agg, nm) to enable the replicated
+    aggregation-coarse correction (DDCoarse)."""
     bspec = P(axis, None, None, rhs_axis)
     gspec = P(rhs_axis)
 
     def local(Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free,
+              aggA, aggB, WA, WB, Cinv,
               x, r, z, p, gamma):
-        Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free, x, r, z, p \
+        Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free, \
+            aggA, aggB, WA, WB, x, r, z, p \
             = (q[0] for q in (Ke_i, ld_i, Ke_b, ld_b, send, take, Minv,
-                              safe, free, x, r, z, p))
+                              safe, free, aggA, aggB, WA, WB, x, r, z, p))
         mloc = x.shape[-1]
         Ei, Eb = Ke_i.shape[0], Ke_b.shape[0]
 
@@ -236,10 +350,28 @@ def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block, L):
         fm = free[..., None]
         proj = lambda v: v * fm
         if use_block:
-            M_apply = lambda v: proj(
+            M_smooth = lambda v: proj(
                 jnp.einsum("nab,nbm->nam", Minv, v))
         else:
-            M_apply = lambda v: proj(v / safe[..., None])
+            M_smooth = lambda v: proj(v / safe[..., None])
+        if coarse_dims is not None:
+            NA, nm = coarse_dims
+
+            def coarse_corr(v):           # v [Nl, d, m] (free subspace)
+                ca = jnp.einsum("nde,ndm->nem", WA, v)
+                cb = jnp.einsum("nde,ndm->nem", WB, v)
+                rc = jax.ops.segment_sum(ca, aggA, num_segments=NA) \
+                    + jax.ops.segment_sum(cb, aggB, num_segments=NA)
+                rc = jax.lax.psum(rc, axis)          # replicated [NA,nm,m]
+                mloc2 = rc.shape[-1]
+                xc = (Cinv @ rc.reshape(NA * nm, mloc2)).reshape(
+                    NA, nm, mloc2)
+                return jnp.einsum("nde,nem->ndm", WA, xc[aggA]) \
+                    + jnp.einsum("nde,nem->ndm", WB, xc[aggB])
+
+            M_apply = lambda v: M_smooth(v) + proj(coarse_corr(v))
+        else:
+            M_apply = M_smooth
 
         def body(state, _):
             x, r, z, p, gamma = state
@@ -262,7 +394,8 @@ def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block, L):
         return x[None], r[None], z[None], p[None], gamma, dot(r, r)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis),) * 9 + (bspec,) * 4 + (gspec,),
+                   in_specs=(P(axis),) * 9 + (P(axis),) * 4 + (P(),)
+                   + (bspec,) * 4 + (gspec,),
                    out_specs=(bspec,) * 4 + (gspec, gspec))
     return jax.jit(fn)
 
@@ -270,7 +403,8 @@ def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block, L):
 def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
                 iters: int = 50, axis: str = "e",
                 rhs_axis: str | None = None, tol: float | None = None,
-                precond: str = "jacobi", chunk: int | None = None):
+                precond: str = "jacobi", chunk: int | None = None,
+                coarse: "DDCoarse | None" = None):
     """Domain-decomposed PCG over ``mesh`` axis ``axis``.
 
     b [Nd, d] or [Nd, d, m] (original dof order); returns
@@ -279,7 +413,10 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
     sharded over that mesh axis (homogenization cell problems).
 
     ``precond``: 'jacobi' (point) or 'block' (exact per-node d x d
-    blocks, assembled at build).  ``tol``: relative residual target —
+    blocks, assembled at build); pass ``coarse`` (a
+    :class:`DDCoarse`) to ADD the replicated aggregation-coarse
+    correction — the two-level preconditioner that keeps DD iteration
+    counts bounded.  ``tol``: relative residual target —
     when given, the loop runs in ``chunk``-iteration dispatches with a
     host-side convergence/stagnation check between chunks (breakdown
     guards run per-iteration on device); when None, exactly ``iters``
@@ -322,18 +459,50 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
     bspec = P(axis, None, None, rhs_axis)
     bP = NamedSharding(mesh, bspec)
     gP = NamedSharding(mesh, P(rhs_axis))
+    rP = NamedSharding(mesh, P())
+    if coarse is not None:
+        coarse_dims = (coarse.n_agg, coarse.nm)
+        cops = [jax.device_put(coarse.aggA, eP),
+                jax.device_put(coarse.aggB, eP),
+                jax.device_put(coarse.WA.astype(dt), eP),
+                jax.device_put(coarse.WB.astype(dt), eP),
+                jax.device_put(coarse.Cinv.astype(dt), rP)]
+    else:
+        coarse_dims = None
+        cops = [jax.device_put(jnp.zeros((S, 1), jnp.int32), eP),
+                jax.device_put(jnp.zeros((S, 1), jnp.int32), eP),
+                jax.device_put(jnp.zeros((S, 1, d, 1), dt), eP),
+                jax.device_put(jnp.zeros((S, 1, d, 1), dt), eP),
+                jax.device_put(jnp.zeros((1, 1), dt), rP)]
     ops = [jax.device_put(x, eP) for x in
            (dd.Ke_int, dd.ld_int, dd.Ke_bnd, dd.ld_bnd, dd.send_idx,
-            dd.halo_take, Minv, safe, fs)]
+            dd.halo_take, Minv, safe, fs)] + cops
     bs = jax.device_put(bs, bP)
 
-    # initial state (global sharded ops — GSPMD handles the reduction)
+    # initial state (global sharded ops — GSPMD handles the reduction);
+    # z0 must apply the SAME preconditioner as the loop (CG consistency)
     fm = ops[8][..., None]
     r0 = bs * fm
     if use_block:
         z0 = jnp.einsum("snab,snbm->snam", ops[6].astype(dt), r0) * fm
     else:
         z0 = r0 / ops[7][..., None] * fm
+    if coarse is not None:
+        NA, nm = coarse_dims
+        mb = r0.shape[-1]
+        ca = jnp.einsum("snde,sndm->snem", ops[11], r0)
+        cb = jnp.einsum("snde,sndm->snem", ops[12], r0)
+        rc = jax.ops.segment_sum(
+            ca.reshape(S * Nl, nm, mb), ops[9].reshape(-1),
+            num_segments=NA) \
+            + jax.ops.segment_sum(
+                cb.reshape(S * Nl, nm, mb), ops[10].reshape(-1),
+                num_segments=NA)
+        xc = (ops[13] @ rc.reshape(NA * nm, mb)).reshape(NA, nm, mb)
+        corr = jnp.einsum("snde,snem->sndm", ops[11],
+                          xc[ops[9]]) \
+            + jnp.einsum("snde,snem->sndm", ops[12], xc[ops[10]])
+        z0 = z0 + corr * fm
     x0 = jnp.zeros_like(r0)
     gamma0 = jnp.sum(r0 * z0, axis=(0, 1, 2))
     state = (x0, r0, z0, z0, gamma0)
@@ -350,7 +519,7 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
     stall = 0
     for L in steps:
         fn = _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n,
-                          use_block, L)
+                          use_block, coarse_dims, L)
         *state, g, r2 = fn(*ops, *state)
         state = tuple(state) + (g,)
         res2 = np.asarray(r2)

@@ -471,6 +471,10 @@ class ElasticitySimulator:
                     and self._routed_auto())):
             return self._solve_routed(b, fixed, vals, tol, maxiter,
                                       precond, chebyshev_degree, x0=x0)
+        if precond == "amg":
+            raise ValueError(
+                "precond='amg' runs on the routed operator only — pass "
+                "operator='routed' (or 'auto' on TPU with a large mesh)")
 
         if not self.no_rigid_motion and x0 is None and precond == "jacobi":
             # Fast path: fully jitted solve; operator arrays enter as

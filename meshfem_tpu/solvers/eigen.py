@@ -16,6 +16,8 @@ a dispatch-bound disaster at 1M DOF).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,8 +77,80 @@ _stage_residuals = _jit(_impl_residuals)
 _stage_update = _jit(lambda Zt, MZt, S2, v: _proj(Zt, MZt, S2 @ v))
 
 
+def _device_lobpcg_chunk_impl(K_op, M_op, Zt, MZt, X, Xp, chunk):
+    """``chunk`` LOBPCG iterations entirely on device: the [3m, 3m] Ritz
+    pencil is solved by the parallel-Jacobi generalized eigensolver
+    (``utils.linalg.generalized_eigh``) inside the loop — ZERO host
+    round trips per iteration (the host version pays two [3m, 3m] host
+    eigensolves + their transfers every iteration, 2 relay RTTs).
+
+    Conditioning: the trial block S = [X, R, X_prev] is column-scaled by
+    1/sqrt(diag(B)) before the Ritz solve (near convergence the residual
+    columns shrink like rn^2 in B, and an unscaled rcond cut would drop
+    them while they still carry the correction)."""
+    import jax
+
+    from ..utils import linalg as la
+
+    m = X.shape[1]
+
+    def proj(V):
+        return V - Zt @ (MZt.T @ V)
+
+    def rayleigh(X):
+        KX = K_op(X)
+        MX = M_op(X)
+        gk = jnp.einsum("nm,nm->m", X, KX)
+        gm = jnp.einsum("nm,nm->m", X, MX)
+        theta = gk / jnp.where(gm == 0, 1.0, gm)
+        R = proj(KX - MX * theta[None, :])
+        return KX, MX, theta, R
+
+    def one(carry, _):
+        X, Xp = carry
+        KX, MX, theta, R = rayleigh(X)
+        KR = K_op(R)
+        MR = M_op(R)
+        KP = K_op(Xp)
+        MP = M_op(Xp)
+        S = jnp.concatenate([X, R, Xp], axis=1)
+        KS = jnp.concatenate([KX, KR, KP], axis=1)
+        MS = jnp.concatenate([MX, MR, MP], axis=1)
+        A = S.T @ KS
+        B = S.T @ MS
+        A = 0.5 * (A + A.T)
+        B = 0.5 * (B + B.T)
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(B)))
+        dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+        As = A * dinv[:, None] * dinv[None, :]
+        Bs = B * dinv[:, None] * dinv[None, :]
+        w, v = la.generalized_eigh(As, Bs)
+        C = dinv[:, None] * v[:, :m]
+        Xn = proj(S @ C)
+        return (Xn, X), None
+
+    (X, Xp), _ = jax.lax.scan(one, (X, Xp), None, length=chunk)
+    _, _, theta, R = rayleigh(X)
+    rn = jnp.linalg.norm(R, axis=0)
+    return X, Xp, theta, rn
+
+
+_device_lobpcg_chunk = None
+
+
+def _get_device_chunk():
+    global _device_lobpcg_chunk
+    if _device_lobpcg_chunk is None:
+        import jax
+
+        _device_lobpcg_chunk = jax.jit(_device_lobpcg_chunk_impl,
+                                       static_argnames=("chunk",))
+    return _device_lobpcg_chunk
+
+
 def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
-                       tol: float = 1e-8, deflate=None):
+                       tol: float = 1e-8, deflate=None,
+                       device_loop: bool | None = None, chunk: int = 10):
     """Smallest `m` eigenpairs of K x = lambda M x.
 
     K_apply / M_apply: matrix-free multi-RHS operators on [N, m] blocks.
@@ -89,11 +163,19 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
     as pytree arguments, so nothing is baked into the executables) — the
     eager version issued ~15-20 individual device ops per iteration, each
     paying a multi-ms relay round trip.  Only [3m, 3m] Grams and [m]
-    residual norms cross to the host, which does the tiny eigensolves."""
+    residual norms cross to the host, which does the tiny eigensolves.
+
+    ``device_loop`` (default: on for pytree operators): run ``chunk``
+    iterations per dispatch ENTIRELY on device — the Ritz pencil is
+    solved by the parallel-Jacobi generalized eigensolver, so no host
+    eigensolves at all; one [m] residual readback per chunk decides
+    convergence."""
     import jax
 
     X = jnp.asarray(X0)
     N, m = X.shape
+    if device_loop is None:
+        device_loop = _ops_are_pytrees(K_apply, M_apply)
 
     if deflate is not None:
         # M-orthogonal deflation: restrict to the M-orthogonal complement of
@@ -112,6 +194,26 @@ def lobpcg_generalized(K_apply, M_apply, X0, *, B_orth=None, maxiter: int = 200,
 
     def project(V):
         return _proj(Zt, MZt, V)
+
+    if device_loop and _ops_are_pytrees(K_apply, M_apply):
+        run = _get_device_chunk()
+        Xp = jnp.zeros_like(X)
+        X = _proj(Zt, MZt, X)
+        history = []
+        theta = None
+        it = 0
+        while it < maxiter:
+            n_it = min(chunk, maxiter - it)
+            X, Xp, theta_d, rn_d = run(K_apply, M_apply, Zt, MZt, X, Xp,
+                                       chunk=n_it)
+            it += n_it
+            theta = np.asarray(theta_d)
+            rn = np.asarray(rn_d) / np.maximum(np.abs(theta), 1e-30)
+            history.append(rn.copy())
+            if np.all(rn < tol):
+                break
+        order = np.argsort(theta)
+        return theta[order], X[:, jnp.asarray(order)], history
 
     if _ops_are_pytrees(K_apply, M_apply):
         # module-level jitted stages, operators as pytree ARGUMENTS:

@@ -113,6 +113,26 @@ def _split_compact(grp, node, cap, pad=128):
     return dst, n_out, out_grp, out_node
 
 
+def _stage_gather_ids(dst, n_out, cap=8):
+    """Transpose a ≤cap-per-id scatter map into gather planes:
+    ``G [cap, n_out]`` with ``G[k, id]`` the source position of id's k-th
+    contribution (-1 when it has fewer).  The copy-kernel formulation of
+    a reduce stage: ``out = sum_k copy(src)[k]`` — deterministic (fixed
+    k order) and served by the ~5x more efficient copy kernel."""
+    dst = np.asarray(dst, np.int64)
+    live = np.nonzero(dst >= 0)[0]
+    order = live[np.argsort(dst[live], kind="stable")]
+    ds = dst[order]
+    first = np.ones(len(ds), bool)
+    first[1:] = ds[1:] != ds[:-1]
+    starts = np.nonzero(first)[0]
+    glen = np.diff(np.concatenate([starts, [len(ds)]]))
+    occ = np.arange(len(ds)) - np.repeat(starts, glen)
+    G = np.full((cap, n_out), -1, np.int64)
+    G[occ, ds] = order
+    return G
+
+
 def _scatter_ladder(ed, Eb, n, N, cap=8, group=8):
     """Multi-stage scatter ladder for the transpose reduce:
 
@@ -153,19 +173,20 @@ class RoutedEBE:
 
     KeB: jnp.ndarray            # [Eb, n, d, n, d, 128] f32
     gather: CopyPlan            # component planes [d*N] -> slots [Eb*nd*128]
-    scatter: ReducePlan         # slots [Eb*nd*128] -> partials (or [d*N])
-    scatter_rest: tuple         # follow-up reduce stages down to [d*N]
+    scatter: ReducePlan | CopyPlan   # slots -> partials (or [d*N])
+    scatter_rest: tuple         # follow-up stages down to [d*N]
     order: jnp.ndarray | None   # [N] user dof held by internal slot i
     rank: jnp.ndarray | None    # [N] internal slot of user dof (inverse)
     num_dofs: int               # nodes
     vector_dim: int
     interpret: bool
+    scatter_mode: str = "reduce"    # 'reduce' | 'copy' (see build)
 
     @classmethod
     def build(cls, Ke, elem_dofs, num_dofs: int, vector_dim: int = 1,
               interpret: bool | None = None,
               two_level: bool | None = None,
-              coords=None) -> "RoutedEBE":
+              coords=None, scatter_mode: str | None = None) -> "RoutedEBE":
         """Ke: [E, nd, nd] (node-major dof order: a = node * d + comp);
         elem_dofs: [E, n] node ids; num_dofs = number of NODES.
 
@@ -195,6 +216,10 @@ class RoutedEBE:
             interpret = jax.default_backend() != "tpu"
         if two_level is None:
             two_level = E >= 4096
+        if scatter_mode is None:
+            scatter_mode = "reduce"
+        if not two_level:
+            scatter_mode = "reduce"
 
         if coords is not None:
             from ..mesh.reorder import rcb_order
@@ -217,13 +242,13 @@ class RoutedEBE:
             order = rank = None
 
         key = (hashlib.sha1(np.ascontiguousarray(elem_dofs)).hexdigest(),
-               N, d, two_level)
+               N, d, two_level, scatter_mode)
         cached = _PLAN_CACHE.get(key)
         if cached is not None:
             gather, scatter, scatter_rest = cached
             KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
             return cls(KeB, gather, scatter, scatter_rest, order, rank,
-                       N, d, interpret)
+                       N, d, interpret, scatter_mode)
 
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
@@ -237,7 +262,46 @@ class RoutedEBE:
                         np.int64(-1)).reshape(-1)
         gather = plan_copy(gsrc, d * N)
 
-        if two_level:
+        if two_level and scatter_mode == "copy":
+            # COPY formulation of the scatter ladder: each ≤8-fan-in rung
+            # becomes gather planes ``out[k, c, id] = src[pos of id's k-th
+            # contribution]`` summed over k — served by the copy kernel,
+            # which runs ~5x more efficiently than the reduce kernel's
+            # task packing (measured).  Only the LAST rung (compact ids ->
+            # global nodes) has unbounded fan-in (a node collects from
+            # arbitrarily many 8-block groups) and stays a ReducePlan on
+            # a small input.
+            dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
+            S0p = Eb * n * 128
+            # element-major slot s = e*n + a -> plane-local (b, a, l) pos
+            e_idx = np.repeat(np.arange(Ep, dtype=np.int64), n)
+            a_idx = np.tile(np.arange(n, dtype=np.int64), Ep)
+            pos_plane = ((e_idx // 128) * n + a_idx) * 128 + (e_idx % 128)
+            n1 = stages[0][1]
+            G0 = _stage_gather_ids(dst0_node, n1)          # [8, n1]
+            src0 = np.where(G0 >= 0, pos_plane[np.maximum(G0, 0)],
+                            np.int64(-1))
+            ids0 = np.where(src0[:, None, :] >= 0,
+                            src0[:, None, :] + (coff * S0p)[None, :, None],
+                            np.int64(-1))                  # [8, d, n1]
+            scatter = plan_copy(ids0.reshape(-1), d * S0p)
+            rest = []
+            n_prev = n1
+            for dst_map, n_out in stages[1:-1]:
+                G = _stage_gather_ids(dst_map, n_out)      # [8, n_out]
+                ids = np.where(G[:, None, :] >= 0,
+                               G[:, None, :] + (coff * n_prev)[None, :,
+                                                               None],
+                               np.int64(-1))
+                rest.append(plan_copy(ids.reshape(-1), d * n_prev))
+                n_prev = n_out
+            dst_map, n_out = stages[-1]
+            dd = np.where(dst_map[None, :] >= 0,
+                          dst_map[None, :] + (coff * n_out)[:, None],
+                          np.int64(-1)).reshape(-1)
+            rest.append(plan_reduce(dd, d * n_out, d * n_prev))
+            scatter_rest = tuple(rest)
+        elif two_level:
             # scatter ladder (see _scatter_ladder): slots -> overflow-split
             # block-compact -> group-compact -> global nodes
             dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
@@ -269,7 +333,7 @@ class RoutedEBE:
         _PLAN_CACHE[key] = (gather, scatter, scatter_rest)
         KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
         return cls(KeB, gather, scatter, scatter_rest, order, rank, N, d,
-                   interpret)
+                   interpret, scatter_mode)
 
     @staticmethod
     def _relayout(Ke, E, Eb, Ep, n, d, nd):
@@ -299,6 +363,13 @@ class RoutedEBE:
         return jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
 
     def _scatter(self, fl):
+        if self.scatter_mode == "copy":
+            y = self.scatter(fl, interpret=self.interpret)
+            y = y.reshape(8, -1).sum(axis=0)
+            for p in self.scatter_rest[:-1]:
+                y = p(y, interpret=self.interpret)
+                y = y.reshape(8, -1).sum(axis=0)
+            return self.scatter_rest[-1](y, interpret=self.interpret)
         y = self.scatter(fl, interpret=self.interpret)
         for p in self.scatter_rest:
             y = p(y, interpret=self.interpret)
@@ -357,8 +428,9 @@ class RoutedEBE:
     def tree_flatten(self):
         return ((self.KeB, self.gather, self.scatter, self.scatter_rest,
                  self.order, self.rank),
-                (self.num_dofs, self.vector_dim, self.interpret))
+                (self.num_dofs, self.vector_dim, self.interpret,
+                 self.scatter_mode))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, aux[0], aux[1], aux[2])
+        return cls(*ch, *aux)

@@ -129,3 +129,79 @@ def test_dd_tol_stopping_and_block_precond():
     assert float(res2b) <= 1e-16 * b2 * 1.01
     np.testing.assert_allclose(np.asarray(ub), np.asarray(u_ref),
                                atol=5e-7)
+
+
+def test_dd_coarse_two_level_bounds_iterations():
+    """Replicated aggregation-coarse correction (DDCoarse): the two-level
+    DD solve reaches tolerance in far fewer iterations than block-Jacobi
+    alone, and both agree with the single-device reference."""
+    from meshfem_tpu.parallel.domain import DDCoarse
+
+    V, T = generators.grid_tet(7, 7, 7)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 10.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    load = np.zeros((sim.num_dofs, 3))
+    load[mesh.nodes_in_box((1, 0, 0), (1, 1, 1)), 2] = -1.0
+    load[fixed] = 0.0
+    sim.fix_nodes(np.flatnonzero(fixed.any(axis=1)))
+    u_ref, _ = sim.solve(extra_load=jnp.asarray(load), tol=1e-12)
+
+    devs = np.asarray(jax.devices()[:8])
+    mesh2 = Mesh(devs, axis_names=("e",))
+    dd = DomainDecomposition.from_simulator(sim, 8)
+    co = DDCoarse.from_simulator(sim, dd, agg_size=24)
+
+    def iters_to_tol(**kw):
+        lo, hi = 1, 4000
+        # run chunked-tol solve and read how many chunks it needed by
+        # bisection-free approach: run with a tight chunk and count
+        u, r2 = dd_cg_solve(mesh2, dd, load, free_mask=~fixed,
+                            iters=4000, tol=1e-10, chunk=25, **kw)
+        return u, r2
+
+    u_c, _ = dd_cg_solve(mesh2, dd, load, free_mask=~fixed, iters=400,
+                         tol=1e-10, chunk=25, precond="block", coarse=co)
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_ref),
+                               atol=2e-7 * np.abs(np.asarray(u_ref)).max())
+
+    # fixed-iteration comparison: at 60 iterations the two-level solve
+    # must be far more converged than block-Jacobi alone
+    u1, r2_plain = dd_cg_solve(mesh2, dd, load, free_mask=~fixed,
+                               iters=60, precond="block")
+    u2, r2_coarse = dd_cg_solve(mesh2, dd, load, free_mask=~fixed,
+                                iters=60, precond="block", coarse=co)
+    assert float(r2_coarse) < 1e-2 * float(r2_plain), \
+        (float(r2_coarse), float(r2_plain))
+
+
+def test_dd_coarse_partition_invariance():
+    """The coarse correction is partition-count independent (replicated
+    coarse space): 2-shard and 8-shard two-level solves agree."""
+    from meshfem_tpu.parallel.domain import DDCoarse
+
+    V, T = generators.grid_tet(6, 5, 4)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 10.0, 0.3))
+    fixed = np.zeros((sim.num_dofs, 3), dtype=bool)
+    fixed[mesh.nodes_in_box((0, 0, 0), (0, 1, 1))] = True
+    load = np.zeros((sim.num_dofs, 3))
+    load[mesh.nodes_in_box((1, 0, 0), (1, 1, 1)), 2] = -1.0
+    load[fixed] = 0.0
+    sim.fix_nodes(np.flatnonzero(fixed.any(axis=1)))
+
+    outs = []
+    for S in (2, 8):
+        devs = np.asarray(jax.devices()[:S])
+        mesh2 = Mesh(devs, axis_names=("e",))
+        dd = DomainDecomposition.from_simulator(sim, S)
+        co = DDCoarse.from_simulator(sim, dd, agg_size=24)
+        u, _ = dd_cg_solve(mesh2, dd, load, free_mask=~fixed, iters=80,
+                           precond="block", coarse=co)
+        outs.append(np.asarray(u))
+    scale = np.abs(outs[0]).max()
+    # the coarse psum's summation grouping differs with S, and CG
+    # amplifies the ~1e-16 rounding differences over 80 iterations
+    np.testing.assert_allclose(outs[1] / scale, outs[0] / scale,
+                               atol=1e-6)
