@@ -27,6 +27,11 @@ import json
 import os
 import sys
 
+if os.environ.get("MESHFEM_PLATFORM"):      # sitecustomize pre-imports jax,
+    import jax                              # so JAX_PLATFORMS is baked in;
+    jax.config.update(                      # override via jax.config instead
+        "jax_platforms", os.environ["MESHFEM_PLATFORM"])
+
 import numpy as np
 import jax.numpy as jnp
 
