@@ -100,6 +100,29 @@ def per_iter(make_f, args, lens=(4, 36), reps=3):
     return diff if diff > 0 else 1e-3
 
 
+def _section(extra, err_key, fn, retries=1):
+    """Run a bench section; retry once on transient relay faults.
+
+    The axon relay's compile helper can 500 / the worker can restart
+    mid-run (BENCH_r04 prep lost the refined/AMG/MG metrics to exactly
+    this); a single bounded retry recovers those sections without
+    risking an unbounded loop."""
+    for attempt in range(retries + 1):
+        try:
+            fn()
+            return
+        except Exception as e:  # noqa: BLE001 — partial metrics beat none
+            msg = f"{type(e).__name__}: {e}"[:300]
+            transient = ("remote_compile" in msg or "UNAVAILABLE" in msg
+                         or "INTERNAL" in msg)
+            if attempt < retries and transient:
+                extra[err_key + "_retried"] = msg[:120]
+                time.sleep(20)
+                continue
+            extra[err_key] = msg
+            return
+
+
 def _emit(out):
     print(json.dumps(out))
     sys.stdout.flush()
@@ -345,7 +368,7 @@ def _run_sections(out, extra, timings):
                              mesh.elem_nodes, mesh.num_nodes, 3)
     apply_hi = lambda x: kern64(x) * free64
 
-    try:
+    def _sec_refined():
         if rk is None:
             raise RuntimeError("routed kernel unavailable")
         diag_i = rk.diagonal()
@@ -365,14 +388,14 @@ def _run_sections(out, extra, timings):
         extra["refined_solve_relres"] = float(f"{ref.resnorm:.3e}")
         extra["refined_solve_rounds"] = ref.rounds
         extra["refined_solve_inner_iters"] = ref.inner_iters
-    except Exception as e:  # noqa: BLE001
-        extra["refined_solve_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    _section(extra, "refined_solve_error", _sec_refined)
 
     # ---- device-resident unstructured multigrid (solvers/amg.py) ---------
     # The CHOLMOD role on ARBITRARY meshes: multilevel V-cycle (P2 routed ->
     # nested P1 routed -> aggregation -> dense), f64-refined to 1e-10 —
     # bounded inner iterations at 1.17M DOF with zero host callbacks.
-    try:
+    def _sec_amg():
         from meshfem_tpu.physics import ElasticitySimulator, Material
         from meshfem_tpu.solvers.amg import UnstructuredMG
 
@@ -404,15 +427,14 @@ def _run_sections(out, extra, timings):
         extra["amg_refined_relres"] = float(f"{refa.resnorm:.3e}")
         extra["amg_refined_inner_iters"] = refa.inner_iters
         extra["amg_refined_rounds"] = refa.rounds
-    except Exception as e:  # noqa: BLE001 — partial metrics beat none
-        extra["amg_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    _section(extra, "amg_error", _sec_amg)
 
     # ---- structured geometric multigrid (ops/structured_mg.py) -----------
     # The CHOLMOD-role solve for structured grids: V-cycle-preconditioned
     # CG (f32, HIGHEST-precision convs) + f64 refinement to 1e-10.  Only
     # meaningful on even n (dyadic chain); report warm-solve wall-clock.
-    if n % 2 == 0:
-      try:
+    def _sec_mg():
         from meshfem_tpu.ops.structured_mg import StructuredMG
 
         t0 = time.time()
@@ -444,15 +466,16 @@ def _run_sections(out, extra, timings):
         extra["mg_refined_solve_s"] = round(time.time() - t0, 2)
         extra["mg_refined_relres"] = float(f"{refm.resnorm:.3e}")
         extra["mg_refined_rounds"] = refm.rounds
-      except Exception as e:  # noqa: BLE001 — partial metrics beat none
-        extra["mg_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if n % 2 == 0:
+        _section(extra, "mg_error", _sec_mg)
 
     # ---- real unstructured mesh: solve-to-tolerance wall-clock ------------
     # ball.msh subdivided 2x (~170k DOF): the reference's own example
     # geometry, solved end-to-end through the simulator's auto path
     # (routed SpMV + f64 refinement on TPU) — the user-facing
     # "CHOLMOD-replacement" number for arbitrary meshes.
-    try:
+    def _sec_ball():
         from meshfem_tpu.io import meshio
         from meshfem_tpu.mesh import filters
         from meshfem_tpu.physics import ElasticitySimulator, Material
@@ -487,8 +510,8 @@ def _run_sections(out, extra, timings):
             ball_solve_relres=float(f"{float(rb2.resnorm):.3e}"),
             ball_solve_inner_iters=int(rb2.iters),
         )
-    except Exception as e:  # noqa: BLE001 — partial metrics beat none
-        extra["ball_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    _section(extra, "ball_error", _sec_ball)
 
 
 if __name__ == "__main__":

@@ -90,7 +90,12 @@ def compare(thicknesses=(0.25, 1.0, 3.0), degree=2):
         mid = layers // 2
         v3 = mesh3.vertex_nodes[mid * n2v:(mid + 1) * n2v]
         d2 = u2[v2]                                     # [n2v, 2]
-        d3 = u3[v3][:, :2]                              # in-plane part
+        # the .bc applies a fixed TOTAL force (-> traction F / area); the
+        # loaded face area grows with thickness, so the linear 3D fields
+        # carry an exact 1/t scale relative to the unit-implicit-depth 2D
+        # plane-stress run — normalize by t (== loading with force 100 t)
+        d3 = t * u3[v3][:, :2]                          # in-plane part
+        vm3 = t * vm3
         # common gauge: subtract each field's mean and best-fit rotation
         X = np.asarray(mesh2.node_positions)[v2]
         for d in (d2, d3):

@@ -83,7 +83,12 @@ def main():
     dists = []
     for t in args.thicknesses:
         mesh3, _, _, vm3, layers = solve_extruded(t, degree=args.degree)
-        curve3 = distribution_curve(mesh3, vm3)
+        # the .bc applies a fixed TOTAL force ("force F -> traction
+        # F / region-area"); the loaded face area grows with thickness,
+        # so the 3D stress field carries an exact 1/t scale relative to
+        # the unit-implicit-depth 2D plane-stress run — normalize by t
+        # (equivalent to loading with force 100 t)
+        curve3 = distribution_curve(mesh3, t * vm3)
         d = curve_distance(curve2, curve3)
         dists.append(d)
         print(f"t={t:<5} layers={layers:<2} elems={mesh3.num_elements:<8} "
@@ -94,7 +99,7 @@ def main():
     mesh3r, _, _, vm3r, _ = solve_extruded(
         t0, degree=args.degree,
         layers=2 * max(1, int(round(t0 / 0.25))))
-    d_ref = curve_distance(distribution_curve(mesh3r, vm3r), curve2)
+    d_ref = curve_distance(distribution_curve(mesh3r, t0 * vm3r), curve2)
     print(f"t={t0} x2-layers curve_L2={d_ref:.4f}", flush=True)
 
     # 1. thin extrusion matches plane stress

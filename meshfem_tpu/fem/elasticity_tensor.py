@@ -74,6 +74,27 @@ def identity(dim: int, dtype=jnp.float64):
     return isotropic_lame(dim, 0.0, 0.5, dtype=dtype)
 
 
+def lame_parameters(D, rtol: float = 1e-9):
+    """(lam, mu) floats if the constant flat tensor ``D`` has the
+    isotropic Lame structure (:func:`isotropic_lame` — covers plane
+    stress too, via its effective lambda), else ``None``.  Used to route
+    applies onto the factored isotropic fast path."""
+    Dn = np.asarray(D, dtype=np.float64)
+    if Dn.ndim != 2:
+        return None
+    fl = Dn.shape[-1]
+    dim = {1: 1, 3: 2, 6: 3}.get(fl)
+    if dim is None or dim == 1:
+        return None
+    lam = float(Dn[0, 1])
+    mu = float(Dn[fl - 1, fl - 1])
+    ref = np.asarray(isotropic_lame(dim, lam, mu))
+    scale = max(abs(lam) + abs(mu), 1e-300)
+    if np.abs(Dn - ref).max() <= rtol * scale:
+        return lam, mu
+    return None
+
+
 def orthotropic_3d(Ex, Ey, Ez, nu_yx, nu_zx, nu_zy, mu_yz, mu_zx, mu_xy,
                    dtype=jnp.float64):
     """``setOrthotropic3D`` (``ElasticityTensor.hh:136-153``): build the

@@ -118,13 +118,30 @@ class ElasticitySimulator:
         elements and cached by connectivity."""
         if self._routed is None:
             from ..sparse.routed_ebe import RoutedEBE
+            from ..fem.elasticity_tensor import lame_parameters
 
             # dof coordinates: position of (a) node carrying each dof
             pos = np.zeros((self.num_dofs, self.mesh.node_positions.shape[1]))
             pos[self.dof_map] = np.asarray(self.mesh.node_positions)
+            # constant isotropic material -> factored contraction: the
+            # apply reads grad_lambda + vol ((K+1) dim + 1 f32/element)
+            # instead of the (nd)^2 dense Ke (69x less element data).
+            # OPT-IN for now: XLA lowers the factored T-contractions to
+            # badly-padded batched MXU matmuls (27 ms vs 3.7 ms dense
+            # apply measured on v5e at 1.17M DOF) — the win needs a fused
+            # Pallas contract kernel; until then dense KeB stays default.
+            import os
+
+            factor = None
+            if os.environ.get("MESHFEM_FACTORED"):
+                lm = lame_parameters(self.D)
+                if lm is not None:
+                    factor = (self.geom.grad_lambda, self.geom.volume,
+                              lm[0], lm[1], self.mesh.degree)
             self._routed = RoutedEBE.build(
-                self.Ke, np.asarray(self.elem_dofs), self.num_dofs,
-                self.dim, coords=pos)
+                None if factor is not None else self.Ke,
+                np.asarray(self.elem_dofs), self.num_dofs,
+                self.dim, coords=pos, factor=factor)
         return self._routed
 
     def _routed_auto(self) -> bool:
@@ -471,6 +488,13 @@ class ElasticitySimulator:
                     and self._routed_auto())):
             return self._solve_routed(b, fixed, vals, tol, maxiter,
                                       precond, chebyshev_degree, x0=x0)
+
+        if (operator in ("auto", "ebe") and x0 is None
+                and b.dtype == jnp.float64 and tol < 1e-5
+                and jax.default_backend() == "tpu"
+                and precond in ("jacobi", "block", "chebyshev")):
+            return self._solve_ebe_refined(b, fixed, vals, tol, maxiter,
+                                           precond, chebyshev_degree)
         if precond == "amg":
             raise ValueError(
                 "precond='amg' runs on the routed operator only — pass "
@@ -530,6 +554,90 @@ class ElasticitySimulator:
         u_dof = res.x + u_d
         u = u_dof[jnp.asarray(self.dof_map)]
         return u, res
+
+    def _solve_ebe_refined(self, b, fixed, vals, tol, maxiter, precond,
+                           chebyshev_degree=6):
+        """Tight-tolerance solve on the gather-pyramid EBE path (TPU):
+        f64 residual applies around an f32 inner CG (``solvers/refine``).
+
+        Replaces the raw f64 eager CG for sub-routed-threshold meshes on
+        TPU: software-f64 EBE iterations cost ~14x the f32 ones
+        (measured 0.8 s vs 58 ms per iteration at 75k DOF on v5e), and a
+        1024-iteration f64 while_loop dispatch runs long enough to trip
+        the relayed worker's watchdog (observed worker crash on the
+        ``experiments/extrusion_validation.py`` meshes).  Same role as
+        ``_solve_routed``'s refinement branch (reference: f64 CHOLMOD
+        factorize+solve, ``SparseMatrices.hh:1984-2296``)."""
+        from ..solvers import refine as refine_mod
+        from ..solvers import precond as pc
+        from ..sparse.ebe import EBEKernel
+
+        d = self.dim
+        f32 = jnp.float32
+        free = ~fixed
+        if getattr(self, "_kernel32", None) is None:
+            self._kernel32 = EBEKernel.build(
+                jnp.asarray(self.Ke, f32), self.elem_dofs, self.num_dofs,
+                d)
+        k32 = self._kernel32
+        free32 = free.astype(f32)
+        projs = [cg_mod.mask_projector(free32)]
+        proj_rm_user = None
+        if self.no_rigid_motion:
+            Z = jnp.asarray(self.rigid_modes())
+            proj_rm_user = cg_mod.nullspace_projector(Z)
+            proj_rm32 = cg_mod.nullspace_projector(Z.astype(f32))
+            projs.append(
+                lambda v: proj_rm32(v.reshape(-1)).reshape(v.shape))
+
+        def project(v):
+            for p in projs:
+                v = p(v)
+            return v
+
+        if precond == "jacobi":
+            diag = k32.diagonal()
+            safe = jnp.where(diag > 0, diag, 1.0)
+            M_inv = lambda r: r / safe
+        else:
+            blocks = pc.node_block_diagonal(jnp.asarray(self.Ke, f32),
+                                            self.elem_dofs,
+                                            self.num_dofs, d)
+            M_inv = pc.block_jacobi_apply(
+                pc.block_jacobi_inv(blocks, free32))
+            if precond == "chebyshev":
+                Ap = lambda v: project(k32(v))
+                M0 = M_inv
+                Mp = lambda r: project(M0(r))
+                lmax = pc.estimate_lambda_max(
+                    Ap, Mp, (self.num_dofs, d), dtype=f32)
+                M_inv = pc.chebyshev_preconditioner(
+                    Ap, M0, lmax, degree=chebyshev_degree,
+                    project=project)
+
+        free64 = free.astype(jnp.float64)
+
+        def proj_hi(v):
+            v = v * free64
+            if proj_rm_user is not None:
+                v = proj_rm_user(v.reshape(-1)).reshape(v.shape)
+            return v
+
+        u_d = jnp.where(fixed, vals, 0.0)
+        apply_hi = lambda x: proj_hi(self.apply_K(x))
+        rhs64 = proj_hi(jnp.asarray(b, jnp.float64)
+                        - self.apply_K(jnp.asarray(u_d, jnp.float64)))
+
+        def solve_lo(r32):
+            res = cg_mod.cg(k32, project(r32), M_inv=M_inv,
+                            project=project, tol=1e-4, maxiter=maxiter)
+            return res.x, res.iters
+
+        ref = refine_mod.refine(apply_hi, solve_lo, rhs64, tol=tol)
+        x = ref.x + u_d
+        u = x[jnp.asarray(self.dof_map)]
+        return u, cg_mod.CGResult(x, jnp.asarray(ref.inner_iters),
+                                  jnp.asarray(ref.resnorm))
 
     def _solve_routed(self, b, fixed, vals, tol, maxiter, precond,
                       chebyshev_degree, x0=None):

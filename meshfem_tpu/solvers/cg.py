@@ -123,7 +123,16 @@ def cg(
     # scalar readback per chunk; identical math).  Under an outer jit
     # (cg_operator, implicit-diff custom_linear_solve) fall back to the
     # single traced while_loop.
+    # f64 on TPU is software-emulated at ~14x the f32 per-iteration cost
+    # (measured 0.8 s vs 58 ms/iter at 75k-DOF P2 on v5e): a
+    # 1024-iteration f64 dispatch can run for many minutes and trips the
+    # relayed worker's watchdog ("TPU worker process crashed" — observed
+    # on the extrusion-validation meshes).  Cap f64-on-TPU chunks so each
+    # dispatch stays bounded; the extra readback per chunk is noise.
     CHUNK = 1024
+    if (jnp.result_type(gamma0) == jnp.float64
+            and jax.default_backend() == "tpu"):
+        CHUNK = 96
     import jax.core as _core
 
     def run_chunk(state, limit):

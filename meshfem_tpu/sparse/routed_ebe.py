@@ -26,11 +26,18 @@ lane-major so no operand is ever relaid out on the hot path:
     receives at most 8 contributions; the surplus spills into extra
     densely-packed ids merged by the next rung).  Locality: a rung's
     output window pulls only from its own block's / group's windows, so
-    chains stay small; the splitting keeps the reduce packer at ~1 task
-    rank per window (a single 25-valence node otherwise forces 3-4
-    mostly-empty task vregs on its whole window).  A one-stage reduce
-    routes every incident element block into each node window and
-    saturates the chain ladder (measured chain 48 everywhere).
+    chains stay small.  Because fan-in is capped at 8 BY CONSTRUCTION,
+    every rung except the last runs as a SLAB-SUM COPY plan
+    (:class:`SumPlan`): one vreg routes an output window's 8
+    contributions onto the sublanes and XLA folds them — the copy
+    kernel's streaming stores instead of the reduce kernel's
+    dynamic-row read-modify-writes, which serialize its unrolled
+    routes (2.93 ms -> ~copy-rate for the same 311k chain-steps,
+    measured v5e 1.17M DOF).  Only the final rung (group-compact ->
+    global nodes, unbounded fan-in) uses the reduce kernel, on ~1/20
+    of the slot count.  A one-stage reduce instead routes every
+    incident element block into each node window and saturates the
+    chain ladder (measured chain 48 everywhere).
 
 Requires a locality-preserving node numbering
 (``FEMMesh(..., node_order="firsttouch")`` over spatially sorted elements,
@@ -59,6 +66,57 @@ from .route import plan_copy, plan_reduce, CopyPlan, ReducePlan
 # Newton steps) skips the ~40 s host routing compile
 _PLAN_CACHE: dict = {}
 _PLAN_CACHE_MAX = 8
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SumPlan:
+    """A <=8-fan-in reduce rung as COPY-plan + sublane sum.
+
+    The inner :class:`~meshfem_tpu.sparse.route.CopyPlan` routes slabs
+    ``[window, 8, 128]`` — one vreg per output window, its up-to-8
+    contributions on the sublanes — and the sum folds them to the
+    ``[window, 128]`` output.  Each slab slot holds at most ONE
+    contribution (fan-in is capped by ``_split_compact``), so the copy
+    plan's set-style XLA fix-up stays correct and the summation order is
+    fixed (deterministic)."""
+
+    plan: CopyPlan
+
+    @property
+    def n_out(self):
+        return self.plan.n_out // 8
+
+    @property
+    def buckets(self):
+        return self.plan.buckets
+
+    def __call__(self, src_flat, *, interpret=False):
+        y = self.plan(src_flat, interpret=interpret)
+        return y.reshape(-1, 8, 128).sum(axis=1).reshape(-1)
+
+    def tree_flatten(self):
+        return (self.plan,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0])
+
+
+def _sum_plan(G_src, plane_len, coff):
+    """Build a :class:`SumPlan` from gather planes ``G_src [8, n_ids]``
+    (source position of each id's k-th contribution in a per-component
+    plane of ``plane_len``, -1 when absent; n_ids a multiple of 128).
+    Components are stacked window-major with ``c * plane_len`` offsets."""
+    d = len(coff)
+    n_ids = G_src.shape[1]
+    NW = n_ids // 128
+    assert NW * 128 == n_ids
+    slab = np.transpose(G_src.reshape(8, NW, 128), (1, 0, 2))
+    ids = np.where(slab[None] >= 0,
+                   slab[None] + (coff * plane_len)[:, None, None, None],
+                   np.int64(-1))                   # [d, NW, 8, 128]
+    return SumPlan(plan_copy(ids.reshape(-1), d * plane_len))
 
 
 def _split_compact(grp, node, cap, pad=128):
@@ -169,26 +227,50 @@ class RoutedEBE:
 
     Same contract as :class:`meshfem_tpu.sparse.ebe.EBEKernel` for
     single-vector applies: u of shape [N] (d == 1) or [N, d].  f32 only —
-    the routing kernels are f32; for f64 use EBEKernel."""
+    the routing kernels are f32; for f64 use EBEKernel.
 
-    KeB: jnp.ndarray            # [Eb, n, d, n, d, 128] f32
+    Two element-contraction backends:
+
+      * ``KeB`` dense per-element stiffness [Eb, n, d, n, d, 128] — any
+        material, but HBM-bound: (nd)^2 f32 per element (~925 MB at a
+        257k-tet P2 bench apply, a >1 ms read floor per apply);
+      * FACTORED isotropic (``GB``/``volB``/``lam``/``mu`` set, KeB
+        None): the affine-simplex identity Ke = vol * T[klij] g_ka g_lb
+        C[cafb] (``element_matrices.element_elasticity``) applied
+        WITHOUT forming Ke — per-element data shrinks to grad_lambda +
+        volume ((K+1) dim + 1 f32, 69x less traffic at P2/3D) and the
+        contraction becomes small per-lane einsums with the constant
+        gradgrad table.  Exact same arithmetic as applying the f32 Ke."""
+
+    KeB: jnp.ndarray | None     # [Eb, n, d, n, d, 128] f32 (dense mode)
     gather: CopyPlan            # component planes [d*N] -> slots [Eb*nd*128]
-    scatter: ReducePlan | CopyPlan   # slots -> partials (or [d*N])
+    scatter: ReducePlan | SumPlan    # slots -> first-rung partials
     scatter_rest: tuple         # follow-up stages down to [d*N]
     order: jnp.ndarray | None   # [N] user dof held by internal slot i
     rank: jnp.ndarray | None    # [N] internal slot of user dof (inverse)
     num_dofs: int               # nodes
     vector_dim: int
     interpret: bool
-    scatter_mode: str = "reduce"    # 'reduce' | 'copy' (see build)
+    scatter_mode: str = "reduce"    # legacy knob (slab-sum ladder
+                                    # is now the only path)
+    GB: jnp.ndarray | None = None   # [Eb, K+1, dim, 128] f32 grad_lambda
+    volB: jnp.ndarray | None = None  # [Eb, 128] f32 element volumes
+    Tgg: jnp.ndarray | None = None   # [K+1, K+1, n, n] f32 gradgrad table
+    lam: float = 0.0
+    mu: float = 0.0
 
     @classmethod
     def build(cls, Ke, elem_dofs, num_dofs: int, vector_dim: int = 1,
               interpret: bool | None = None,
               two_level: bool | None = None,
-              coords=None, scatter_mode: str | None = None) -> "RoutedEBE":
+              coords=None, scatter_mode: str | None = None,
+              factor=None) -> "RoutedEBE":
         """Ke: [E, nd, nd] (node-major dof order: a = node * d + comp);
         elem_dofs: [E, n] node ids; num_dofs = number of NODES.
+
+        ``factor`` (optional): ``(grad_lambda [E, K+1, dim], volume [E],
+        lam, mu, deg)`` activates the factored isotropic contraction
+        (class docstring) — ``Ke`` may then be None.
 
         ``two_level`` (default: on for E >= 4096): see module docstring.
 
@@ -203,12 +285,18 @@ class RoutedEBE:
         as-is (correct always; fast only if the mesh was pre-ordered,
         e.g. ``FEMMesh(..., node_order='firsttouch')`` over RCB-sorted
         elements)."""
-        Ke = jnp.asarray(Ke, jnp.float32)
         elem_dofs = np.asarray(elem_dofs)
-        E, nd, _ = Ke.shape
-        n = elem_dofs.shape[1]
+        E, n = elem_dofs.shape
         d = vector_dim
-        assert nd == n * d
+        nd = n * d
+        if factor is not None:
+            gl, volume, lam, mu, deg = factor
+            gl = jnp.asarray(gl, jnp.float32)
+            volume = jnp.asarray(volume, jnp.float32)
+            Ke = None
+        else:
+            Ke = jnp.asarray(Ke, jnp.float32)
+            assert Ke.shape == (E, nd, nd)
         Eb = -(-E // 128)
         Ep = Eb * 128
         N = num_dofs
@@ -216,10 +304,10 @@ class RoutedEBE:
             interpret = jax.default_backend() != "tpu"
         if two_level is None:
             two_level = E >= 4096
-        if scatter_mode is None:
-            scatter_mode = "reduce"
-        if not two_level:
-            scatter_mode = "reduce"
+        # scatter_mode is a legacy knob: the slab-sum ladder replaced the
+        # per-task reduce packing AND the 8-plane 'copy' formulation
+        # (both measured slower — 2.93 ms / ~3x — than SumPlan rungs)
+        scatter_mode = "reduce"
 
         if coords is not None:
             from ..mesh.reorder import rcb_order
@@ -235,7 +323,12 @@ class RoutedEBE:
             rank_np = np.empty(N, np.int64)
             rank_np[order_np] = np.arange(N)
             elem_dofs = rank_np[ed_sorted]
-            Ke = jnp.take(Ke, jnp.asarray(eperm), axis=0)
+            epj = jnp.asarray(eperm)
+            if Ke is not None:
+                Ke = jnp.take(Ke, epj, axis=0)
+            if factor is not None:
+                gl = jnp.take(gl, epj, axis=0)
+                volume = jnp.take(volume, epj, axis=0)
             order = jnp.asarray(order_np)
             rank = jnp.asarray(rank_np)
         else:
@@ -246,9 +339,13 @@ class RoutedEBE:
         cached = _PLAN_CACHE.get(key)
         if cached is not None:
             gather, scatter, scatter_rest = cached
-            KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
-            return cls(KeB, gather, scatter, scatter_rest, order, rank,
-                       N, d, interpret, scatter_mode)
+            fields = cls._element_fields(Ke, factor and (gl, volume, lam,
+                                                         mu, deg),
+                                         E, Eb, Ep, n, d, nd)
+            return cls(gather=gather, scatter=scatter,
+                       scatter_rest=scatter_rest, order=order, rank=rank,
+                       num_dofs=N, vector_dim=d, interpret=interpret,
+                       scatter_mode=scatter_mode, **fields)
 
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
@@ -262,15 +359,20 @@ class RoutedEBE:
                         np.int64(-1)).reshape(-1)
         gather = plan_copy(gsrc, d * N)
 
-        if two_level and scatter_mode == "copy":
-            # COPY formulation of the scatter ladder: each ≤8-fan-in rung
-            # becomes gather planes ``out[k, c, id] = src[pos of id's k-th
-            # contribution]`` summed over k — served by the copy kernel,
-            # which runs ~5x more efficiently than the reduce kernel's
-            # task packing (measured).  Only the LAST rung (compact ids ->
-            # global nodes) has unbounded fan-in (a node collects from
-            # arbitrarily many 8-block groups) and stays a ReducePlan on
-            # a small input.
+        if two_level:
+            # Scatter ladder (see _scatter_ladder): slots -> overflow-split
+            # block-compact -> group-compact -> global nodes.  Rungs with
+            # structural fan-in <= 8 (every rung built by _split_compact)
+            # run as SLAB-SUM COPY plans: one vreg = one output window's 8
+            # contributions [8, 128] riding the sublanes, routed by the
+            # copy kernel and sublane-summed in XLA.  Same chain profile
+            # as the reduce packer's tasks, but no dynamic-row
+            # read-modify-write: the reduce kernel's o_ref[row] += part
+            # serializes its unrolled routes (measured 2.93 ms vs the
+            # copy kernel's 0.32 ms at comparable chain work, v5e 1.17M
+            # DOF).  Only the LAST rung (group-compact ids -> global
+            # nodes) has unbounded fan-in and stays a ReducePlan — on
+            # ~1/20 the original slot count.
             dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
             S0p = Eb * n * 128
             # element-major slot s = e*n + a -> plane-local (b, a, l) pos
@@ -281,45 +383,18 @@ class RoutedEBE:
             G0 = _stage_gather_ids(dst0_node, n1)          # [8, n1]
             src0 = np.where(G0 >= 0, pos_plane[np.maximum(G0, 0)],
                             np.int64(-1))
-            ids0 = np.where(src0[:, None, :] >= 0,
-                            src0[:, None, :] + (coff * S0p)[None, :, None],
-                            np.int64(-1))                  # [8, d, n1]
-            scatter = plan_copy(ids0.reshape(-1), d * S0p)
+            scatter = _sum_plan(src0, S0p, coff)
             rest = []
             n_prev = n1
             for dst_map, n_out in stages[1:-1]:
                 G = _stage_gather_ids(dst_map, n_out)      # [8, n_out]
-                ids = np.where(G[:, None, :] >= 0,
-                               G[:, None, :] + (coff * n_prev)[None, :,
-                                                               None],
-                               np.int64(-1))
-                rest.append(plan_copy(ids.reshape(-1), d * n_prev))
+                rest.append(_sum_plan(G, n_prev, coff))
                 n_prev = n_out
             dst_map, n_out = stages[-1]
             dd = np.where(dst_map[None, :] >= 0,
                           dst_map[None, :] + (coff * n_out)[:, None],
                           np.int64(-1)).reshape(-1)
             rest.append(plan_reduce(dd, d * n_out, d * n_prev))
-            scatter_rest = tuple(rest)
-        elif two_level:
-            # scatter ladder (see _scatter_ladder): slots -> overflow-split
-            # block-compact -> group-compact -> global nodes
-            dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
-            d0_bal = dst0_node.reshape(Eb, 128, n).transpose(0, 2, 1)
-            n1 = stages[0][1]
-            dst1 = np.where(d0_bal[None] >= 0,
-                            d0_bal[None] + (coff * n1)[:, None, None,
-                                                       None],
-                            np.int64(-1)).reshape(-1)
-            scatter = plan_reduce(dst1, d * n1, d * Eb * n * 128)
-            rest = []
-            n_prev = n1
-            for dst_map, n_out in stages[1:]:
-                dd = np.where(dst_map[None, :] >= 0,
-                              dst_map[None, :] + (coff * n_out)[:, None],
-                              np.int64(-1)).reshape(-1)
-                rest.append(plan_reduce(dd, d * n_out, d * n_prev))
-                n_prev = n_out
             scatter_rest = tuple(rest)
         else:
             dst1 = np.where(ed_bal[None] >= 0,
@@ -331,9 +406,34 @@ class RoutedEBE:
         if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
             _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = (gather, scatter, scatter_rest)
-        KeB = cls._relayout(Ke, E, Eb, Ep, n, d, nd)
-        return cls(KeB, gather, scatter, scatter_rest, order, rank, N, d,
-                   interpret, scatter_mode)
+        fields = cls._element_fields(Ke, factor and (gl, volume, lam, mu,
+                                                     deg),
+                                     E, Eb, Ep, n, d, nd)
+        return cls(gather=gather, scatter=scatter,
+                   scatter_rest=scatter_rest, order=order, rank=rank,
+                   num_dofs=N, vector_dim=d, interpret=interpret,
+                   scatter_mode=scatter_mode, **fields)
+
+    @classmethod
+    def _element_fields(cls, Ke, factor, E, Eb, Ep, n, d, nd):
+        """Element-data fields for either contraction backend."""
+        if factor is None:
+            return dict(KeB=cls._relayout(Ke, E, Eb, Ep, n, d, nd))
+        gl, volume, lam, mu, deg = factor
+        from ..ops.element_matrices import gradgrad_table
+
+        K1 = gl.shape[1]                       # K + 1
+        dim = gl.shape[2]
+        if Ep != E:
+            gl = jnp.concatenate(
+                [gl, jnp.zeros((Ep - E, K1, dim), jnp.float32)])
+            volume = jnp.concatenate(
+                [volume, jnp.zeros((Ep - E,), jnp.float32)])
+        GB = jnp.transpose(gl.reshape(Eb, 128, K1, dim), (0, 2, 3, 1))
+        volB = volume.reshape(Eb, 128)
+        Tgg = jnp.asarray(gradgrad_table(K1 - 1, deg), jnp.float32)
+        return dict(KeB=None, GB=GB, volB=volB, Tgg=Tgg,
+                    lam=float(lam), mu=float(mu))
 
     @staticmethod
     def _relayout(Ke, E, Eb, Ep, n, d, nd):
@@ -357,26 +457,55 @@ class RoutedEBE:
         """Internal ordering -> user ordering."""
         return y if self.order is None else y[self.rank]
 
+    def _eb_n(self):
+        if self.KeB is not None:
+            return self.KeB.shape[0], self.KeB.shape[1]
+        return self.GB.shape[0], self.Tgg.shape[-1]
+
     def _contract(self, ue):
         """[d, Eb, n, 128] component-major element values -> forces
         [d, Eb, n, 128] (VPU multiply-reduce; lanes = elements)."""
-        return jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
+        if self.KeB is not None:
+            return jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
+        return self._contract_factored(ue)
+
+    def _contract_factored(self, ue):
+        """Factored isotropic contraction (class docstring): with
+        g = grad_lambda, T the gradgrad table and C_cafb = lam d_ca d_fb
+        + mu (d_cf d_ab + d_cb d_af), Ke u splits into
+
+          f1[ic] = mu  sum_j (sum_km T[kmij] (g_k . g_m)) u[jc]
+          f2[ic] = lam sum_k g_kc sum_lj T[klij] (g_l . u_j)
+          f3[ic] = mu  sum_l g_lc sum_kj T[klij] (g_k . u_j)
+
+        all scaled by vol — three lane-parallel contractions against
+        per-element data of (K+1) dim + 1 floats instead of (nd)^2."""
+        # HIGHEST precision: these contractions lower to MXU matmuls,
+        # whose default f32 path runs bf16 passes (~1e-3 relative error,
+        # measured 2.3e-3 on the apply) — enough asymmetry to stall CG.
+        # HIGHEST keeps full f32; the matmuls are small (~2.5 GFLOP at
+        # bench scale) so even the multi-pass cost is noise next to the
+        # HBM traffic this path saves.
+        hp = jax.lax.Precision.HIGHEST
+        g, T = self.GB, self.Tgg
+        d1 = jnp.einsum("ekcl,cenl->eknl", g, ue, precision=hp)
+        G2 = jnp.einsum("ekcl,emcl->ekml", g, g, precision=hp)
+        Le = jnp.einsum("kmij,ekml->eijl", T, G2, precision=hp)
+        f1 = self.mu * jnp.einsum("eijl,cejl->ceil", Le, ue, precision=hp)
+        m1 = jnp.einsum("klij,eljL->ekiL", T, d1, precision=hp)
+        m2 = jnp.einsum("klij,ekjL->eliL", T, d1, precision=hp)
+        f2 = self.lam * jnp.einsum("ekcL,ekiL->ceiL", g, m1, precision=hp)
+        f3 = self.mu * jnp.einsum("elcL,eliL->ceiL", g, m2, precision=hp)
+        return self.volB[None, :, None, :] * (f1 + f2 + f3)
 
     def _scatter(self, fl):
-        if self.scatter_mode == "copy":
-            y = self.scatter(fl, interpret=self.interpret)
-            y = y.reshape(8, -1).sum(axis=0)
-            for p in self.scatter_rest[:-1]:
-                y = p(y, interpret=self.interpret)
-                y = y.reshape(8, -1).sum(axis=0)
-            return self.scatter_rest[-1](y, interpret=self.interpret)
         y = self.scatter(fl, interpret=self.interpret)
         for p in self.scatter_rest:
             y = p(y, interpret=self.interpret)
         return y
 
     def __call__(self, u):
-        Eb, n = self.KeB.shape[0], self.KeB.shape[1]
+        Eb, n = self._eb_n()
         d = self.vector_dim
         u = u.astype(jnp.float32)
         src = u.reshape(self.num_dofs, d).T.reshape(-1)   # [d*N] planes
@@ -400,7 +529,7 @@ class RoutedEBE:
         and RESOURCE_EXHAUSTED at m = 6 on a 1.17M-DOF problem — while
         the unrolled form lets XLA schedule the m plans back-to-back with
         per-column temps and matches the single-apply per-RHS cost."""
-        Eb, n = self.KeB.shape[0], self.KeB.shape[1]
+        Eb, n = self._eb_n()
         d = self.vector_dim
         m = U.shape[-1]
         U = U.astype(jnp.float32)
@@ -410,7 +539,7 @@ class RoutedEBE:
         for j in range(m):
             ue = self.gather(src[j], interpret=self.interpret) \
                 .reshape(d, Eb, n, 128)
-            fe = jnp.einsum("eACacl,ceal->CeAl", self.KeB, ue)
+            fe = self._contract(ue)
             outs.append(self._scatter(fe.reshape(-1)))      # [d*N]
         y = jnp.stack(outs)                                 # [m, d*N]
         out = jnp.transpose(y.reshape(m, d, self.num_dofs), (2, 1, 0))
@@ -419,7 +548,20 @@ class RoutedEBE:
     def diagonal(self):
         """Assembled operator diagonal (Jacobi), via the scatter plan."""
         d = self.vector_dim
-        de = jnp.einsum("eacacl->eacl", self.KeB)     # [Eb, n, d, 128]
+        if self.KeB is not None:
+            de = jnp.einsum("eacacl->eacl", self.KeB)  # [Eb, n, d, 128]
+        else:
+            # diag Ke[(ac)(ac)] = vol sum_kl T[klaa]
+            #                     (mu G_kl + (lam + mu) g_kc g_lc)
+            hp = jax.lax.Precision.HIGHEST
+            g, T = self.GB, self.Tgg
+            Taa = jnp.einsum("klaa->kla", T)
+            G2 = jnp.einsum("ekcl,emcl->ekml", g, g, precision=hp)
+            iso = self.mu * jnp.einsum("kla,eklL->eaL", Taa, G2,
+                                       precision=hp)
+            dirn = (self.lam + self.mu) * jnp.einsum(
+                "kla,ekcL,elcL->eacL", Taa, g, g, precision=hp)
+            de = self.volB[:, None, None, :] * (iso[:, :, None, :] + dirn)
         y = self._scatter(jnp.transpose(de, (2, 0, 1, 3)).reshape(-1))
         if d == 1:
             return y.reshape(self.num_dofs)
@@ -427,10 +569,14 @@ class RoutedEBE:
 
     def tree_flatten(self):
         return ((self.KeB, self.gather, self.scatter, self.scatter_rest,
-                 self.order, self.rank),
+                 self.order, self.rank, self.GB, self.volB, self.Tgg),
                 (self.num_dofs, self.vector_dim, self.interpret,
-                 self.scatter_mode))
+                 self.scatter_mode, self.lam, self.mu))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, *aux)
+        (KeB, gather, scatter, scatter_rest, order, rank, GB, volB,
+         Tgg) = ch
+        n_dofs, d, interp, smode, lam, mu = aux
+        return cls(KeB, gather, scatter, scatter_rest, order, rank,
+                   n_dofs, d, interp, smode, GB, volB, Tgg, lam, mu)

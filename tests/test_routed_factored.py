@@ -1,0 +1,79 @@
+"""Factored isotropic routed apply == dense-Ke routed apply == f64 EBE.
+
+The factored contraction (``sparse.routed_ebe`` class docstring) replaces
+the dense per-element stiffness read with grad_lambda + volume and the
+constant gradgrad table — exact same arithmetic, 69x less element data.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from meshfem_tpu.mesh import FEMMesh, generators
+from meshfem_tpu.physics import ElasticitySimulator, Material
+from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+from meshfem_tpu.fem import elasticity_tensor as et
+
+
+def test_lame_parameters_detection():
+    D3 = et.isotropic(3, 200.0, 0.3)
+    lm = et.lame_parameters(D3)
+    assert lm is not None
+    assert np.allclose(np.asarray(et.isotropic_lame(3, *lm)),
+                       np.asarray(D3))
+    # plane stress (2D) uses the effective lambda — still Lame-structured
+    assert et.lame_parameters(et.isotropic(2, 1.0, 0.3)) is not None
+    # orthotropic is NOT
+    D_ortho = et.orthotropic(2, [1.0, 2.0, 0.3, 0.7])
+    assert et.lame_parameters(D_ortho) is None
+    # per-element batch is NOT (needs the dense path)
+    assert et.lame_parameters(jnp.stack([D3, D3])) is None
+
+
+@pytest.mark.parametrize("dim,deg", [(3, 2), (2, 2), (3, 1)])
+def test_factored_matches_dense_and_f64(dim, deg, monkeypatch):
+    monkeypatch.setenv("MESHFEM_FACTORED", "1")   # opt-in (see routed_kernel)
+    if dim == 3:
+        V, T = generators.grid_tet(4, 4, 4)
+    else:
+        V, T = generators.grid_tri(6, 6)
+    mesh = FEMMesh(V, T, degree=deg)
+    sim = ElasticitySimulator(mesh, Material.isotropic(dim, 2.3, 0.31))
+    rk = sim.routed_kernel()
+    assert rk.KeB is None, "isotropic material must take the factored path"
+    rkd = RoutedEBE.build(sim.Ke, np.asarray(sim.elem_dofs), sim.num_dofs,
+                          sim.dim, coords=np.asarray(mesh.node_positions))
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((sim.num_dofs, dim)).astype(np.float32)
+    y1 = rk.permute_out(rk(rk.permute_in(jnp.asarray(u))))
+    y2 = rkd.permute_out(rkd(rkd.permute_in(jnp.asarray(u))))
+    y3 = sim.apply_K(jnp.asarray(u, jnp.float64))
+    scale = float(jnp.abs(y3).max())
+    assert float(jnp.abs(y1 - y2).max()) / scale < 5e-6
+    assert float(jnp.abs(y1 - jnp.asarray(y3, jnp.float32)).max()) \
+        / scale < 5e-5
+    # diagonal
+    d1 = rk.permute_out(rk.diagonal())
+    d2 = rkd.permute_out(rkd.diagonal())
+    assert float(jnp.abs(d1 - d2).max() / jnp.abs(d2).max()) < 5e-6
+    # multi-RHS block apply consistency
+    U = rng.standard_normal((sim.num_dofs, dim, 2)).astype(np.float32)
+    yb = rk.permute_out(rk.apply_block(rk.permute_in(jnp.asarray(U))))
+    yc = jnp.stack([rk.permute_out(rk(rk.permute_in(jnp.asarray(U[..., j]))))
+                    for j in range(2)], axis=-1)
+    assert float(jnp.abs(yb - yc).max()) < 1e-6
+
+
+def test_anisotropic_material_keeps_dense_path():
+    V, T = generators.grid_tri(5, 5)
+    mesh = FEMMesh(V, T, degree=2)
+    mat = Material.orthotropic(2, [1.0, 2.0, 0.3, 0.7])
+    sim = ElasticitySimulator(mesh, mat)
+    rk = sim.routed_kernel()
+    assert rk.KeB is not None
+    u = np.random.default_rng(0).standard_normal(
+        (sim.num_dofs, 2)).astype(np.float32)
+    y1 = rk.permute_out(rk(rk.permute_in(jnp.asarray(u))))
+    y3 = sim.apply_K(jnp.asarray(u, jnp.float64))
+    assert float(jnp.abs(y1 - jnp.asarray(y3, jnp.float32)).max()
+                 / jnp.abs(y3).max()) < 5e-5
