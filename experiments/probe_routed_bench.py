@@ -68,6 +68,8 @@ def main():
     rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
     print(f"routed plan build: {time.time()-t0:.1f}s", flush=True)
     for nm, p in (("gather", rk.gather), ("scatter", rk.scatter)):
+        if hasattr(p, "plan"):          # SumPlan wraps a CopyPlan
+            p = p.plan
         chains = [b.chain for b in p.buckets]
         sizes = [int(np.prod(b.pidx.shape)) // 1024 for b in p.buckets]
         nfix = int(p.fix_pos.shape[0] if hasattr(p, "fix_pos")

@@ -77,3 +77,42 @@ def test_anisotropic_material_keeps_dense_path():
     y3 = sim.apply_K(jnp.asarray(u, jnp.float64))
     assert float(jnp.abs(y1 - jnp.asarray(y3, jnp.float32)).max()
                  / jnp.abs(y3).max()) < 5e-5
+
+
+@pytest.mark.parametrize("dim,deg,n_el", [(3, 2, 10), (2, 2, 6), (3, 1, 4),
+                                          (2, 1, 3)])
+def test_fused_contract_kernel_matches_einsum(dim, deg, n_el):
+    """The Pallas fused contraction (sparse/contract.py) reproduces the
+    einsum reference bit-for-bit-close, including the ragged grid tail."""
+    import jax
+    from meshfem_tpu.sparse.contract import factored_contract
+    from meshfem_tpu.ops.element_matrices import gradgrad_table
+
+    rng = np.random.default_rng(1)
+    K1 = dim + 1
+    Eb = 3                                   # not a multiple of B=2
+    g = rng.standard_normal((Eb, K1, dim)).astype(np.float32)
+    GB = jnp.asarray(np.broadcast_to(g[:, :, :, None],
+                                     (Eb, K1, dim, 128)).copy())
+    volB = jnp.asarray(rng.random((Eb, 128)).astype(np.float32) + 0.5)
+    ue = jnp.asarray(rng.standard_normal(
+        (dim, Eb, n_el, 128)).astype(np.float32))
+    lam, mu = 1.7, 0.9
+
+    hp = jax.lax.Precision.HIGHEST
+    T = jnp.asarray(gradgrad_table(dim, deg), jnp.float32)
+    d1 = jnp.einsum("ekcl,cenl->eknl", GB, ue, precision=hp)
+    G2 = jnp.einsum("ekcl,emcl->ekml", GB, GB, precision=hp)
+    Le = jnp.einsum("kmij,ekml->eijl", T, G2, precision=hp)
+    f1 = mu * jnp.einsum("eijl,cejl->ceil", Le, ue, precision=hp)
+    m1 = jnp.einsum("klij,eljL->ekiL", T, d1, precision=hp)
+    m2 = jnp.einsum("klij,ekjL->eliL", T, d1, precision=hp)
+    f2 = lam * jnp.einsum("ekcL,ekiL->ceiL", GB, m1, precision=hp)
+    f3 = mu * jnp.einsum("elcL,eliL->ceiL", GB, m2, precision=hp)
+    ref = np.asarray(volB[None, :, None, :] * (f1 + f2 + f3))
+
+    GB2 = GB.reshape(Eb, K1 * dim, 128)
+    out = np.asarray(factored_contract(GB2, volB, ue, lam, mu, dim, deg,
+                                       interpret=True, B=2))
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-5
