@@ -4,9 +4,10 @@ Measures on the attached accelerator:
   1. P2 tetrahedral elasticity stiffness assembly throughput (elements/s)
      — fused-MXU element kernel (BASELINE target 5e7 elem/s);
   2. PCG iteration rate at ~1M-DOF P2 elasticity — general routed
-     in-register SpMV path (arbitrary meshes) and the lane-packed
-     structured conv path, f32; plus a solve-to-1e-10 f64 iterative
-     refinement around the f32 routed CG (the CHOLMOD-role metric).
+     in-register SpMV path (arbitrary meshes, dense-KeB and factored
+     isotropic backends A/B) and the lane-packed structured conv path,
+     f32; plus solve-to-1e-10 f64 iterative refinement around the f32
+     routed CG and the device-resident AMG (the CHOLMOD-role metrics).
 
 Timing methodology (all four rules are load-bearing on this tunneled
 backend; each alone was measured to corrupt results by 10-1000x):
@@ -19,18 +20,21 @@ backend; each alone was measured to corrupt results by 10-1000x):
   * loop-invariant scan bodies are hoisted by XLA — the carry feeds every
     operand that must stay live.
 
-Fault model (round-3 lesson: BENCH_r03 was rc=1 because the axon relay
-was down and backend discovery re-raised): the backend is probed in a
-SUBPROCESS with a timeout (the axon TPU plugin can hang the process hard
-when the relay is down — an in-process probe would never return), with
-retries + backoff; on persistent failure the bench falls back to the CPU
-platform at a reduced problem size and reports ``degraded``.  Every
-section is individually guarded; whatever ran is emitted.  This script
-always prints one JSON line and exits 0.
+Artifact contract (round-4 lesson: BENCH_r04 was `parsed: null` because
+the JSON line outgrew the driver's 2,000-char stdout tail): stdout gets
+ONE COMPACT line — headline fields first, priority-ordered extras, every
+error ANSI-stripped and capped at 80 chars, total length <= 1,700 —
+while the FULL result (timings, tracebacks' tails, every key) goes to
+stderr and ``BENCH_DETAIL.json``.  Sections run in order of evidentiary
+value (at-scale refined/AMG right after the general-PCG headline, before
+the relay has had minutes to flake) and transient relay faults retry
+3x with 60 s backoff.  This script always prints one JSON line and
+exits 0.
 """
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -39,6 +43,38 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07\x1b]*(?:\x07|\x1b\\)")
+
+# stdout-line key order: the driver's 2,000-char tail must always contain
+# these, in this order, before any lower-value key is admitted
+_PRIORITY = (
+    "pcg_iters_per_s_general", "pcg_vs_baseline_1k",
+    "pcg_ms_per_iter_general", "pcg_iters_per_s_general_factored",
+    "amg_refined_relres", "amg_refined_inner_iters", "amg_refined_solve_s",
+    "amg_refined_rounds", "amg_cg_iters", "amg_solve_s_f32", "amg_levels",
+    "refined_solve_relres", "refined_solve_rounds",
+    "refined_solve_inner_iters",
+    "pcg_iters_per_s_structured", "pcg_vs_baseline_1k_structured",
+    "structured_cfg",
+    "pcg_iters_per_s_general_6rhs_per_rhs", "pcg_6rhs_path",
+    "mg_solve_ms_f32", "mg_cg_iters",
+    "ball_dofs", "ball_solve_s", "ball_solve_relres",
+    "ball_solve_inner_iters", "ball_precond",
+    "dofs", "tets", "bench_n", "device", "dtype",
+    "assembly_ms_per_call", "contract_kernel_relerr_tpu",
+    "routed_backend",
+)
+
+_LINE_BUDGET = 1700
+
+
+def _clean(s, cap=80):
+    """ANSI-strip + printable-ASCII + cap — error strings only ever enter
+    the artifact through this."""
+    s = _ANSI.sub("", str(s))
+    s = "".join(ch if 32 <= ord(ch) < 127 else " " for ch in s)
+    return s[:cap]
 
 
 def _resolve_platform(extra):
@@ -63,16 +99,16 @@ def _resolve_platform(extra):
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, timeout=300, text=True)
             if r.returncode == 0 and r.stdout.strip():
-                extra["backend_probe"] = r.stdout.strip()
+                extra["backend_probe"] = _clean(r.stdout.strip(), 40)
                 if attempt:
                     extra["backend_probe_attempts"] = attempt + 1
                 return None
             extra[f"backend_probe_fail_{attempt}"] = \
-                (r.stderr or "")[-300:].strip()
+                _clean((r.stderr or "")[-300:], 80)
         except subprocess.TimeoutExpired:
             extra[f"backend_probe_fail_{attempt}"] = "timeout(300s)"
         except Exception as e:  # noqa: BLE001
-            extra[f"backend_probe_fail_{attempt}"] = repr(e)[:200]
+            extra[f"backend_probe_fail_{attempt}"] = _clean(repr(e), 80)
     extra["degraded"] = "cpu-fallback (backend probe failed 3x)"
     return "cpu"
 
@@ -100,31 +136,59 @@ def per_iter(make_f, args, lens=(4, 36), reps=3):
     return diff if diff > 0 else 1e-3
 
 
-def _section(extra, err_key, fn, retries=1):
-    """Run a bench section; retry once on transient relay faults.
+def _section(extra, err_key, fn, retries=3):
+    """Run a bench section; retry transient relay faults 3x, 60 s apart.
 
     The axon relay's compile helper can 500 / the worker can restart
-    mid-run (BENCH_r04 prep lost the refined/AMG/MG metrics to exactly
-    this); a single bounded retry recovers those sections without
-    risking an unbounded loop."""
+    mid-run (BENCH_r04 lost the at-scale refined/AMG/MG metrics to
+    exactly this, twice); bounded retries with a long backoff outlast a
+    compile-helper restart without risking an unbounded loop.  Full
+    tracebacks go to stderr; the artifact key stays <= 80 chars."""
     for attempt in range(retries + 1):
         try:
             fn()
             return
         except Exception as e:  # noqa: BLE001 — partial metrics beat none
-            msg = f"{type(e).__name__}: {e}"[:300]
-            transient = ("remote_compile" in msg or "UNAVAILABLE" in msg
-                         or "INTERNAL" in msg)
+            traceback.print_exc(file=sys.stderr)
+            msg = _clean(f"{type(e).__name__}: {e}")
+            rep = repr(e)
+            transient = any(t in rep for t in (
+                "remote_compile", "UNAVAILABLE", "INTERNAL", "DEADLINE",
+                "Socket closed", "Connection reset"))
             if attempt < retries and transient:
-                extra[err_key + "_retried"] = msg[:120]
-                time.sleep(20)
+                extra[err_key + "_retry"] = attempt + 1
+                time.sleep(60)
                 continue
             extra[err_key] = msg
             return
 
 
 def _emit(out):
-    print(json.dumps(out))
+    """Full detail to stderr + BENCH_DETAIL.json; one compact priority-
+    ordered line (<= _LINE_BUDGET chars) to stdout for the driver."""
+    detail = json.dumps(out, default=str)
+    sys.stderr.write(detail + "\n")
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+        with open(path, "w") as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass
+    extra = out.get("extra", {})
+    head = {k: out[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    keys = [k for k in _PRIORITY if k in extra]
+    keys += [k for k in extra if k not in _PRIORITY and k != "timings"]
+    compact = {}
+    for k in keys:
+        v = extra[k]
+        if isinstance(v, str):
+            v = _clean(v)
+        cand = dict(compact)
+        cand[k] = v
+        if len(json.dumps({**head, "extra": cand})) <= _LINE_BUDGET:
+            compact = cand
+    print(json.dumps({**head, "extra": compact}))
     sys.stdout.flush()
 
 
@@ -141,8 +205,8 @@ def main():
     try:
         _run_sections(out, extra, timings)
     except BaseException as e:  # noqa: BLE001 — partial metrics beat none
-        extra["error"] = f"{type(e).__name__}: {e}"[:500]
-        extra["error_trace"] = traceback.format_exc()[-1500:]
+        extra["error"] = _clean(f"{type(e).__name__}: {e}")
+        sys.stderr.write(traceback.format_exc()[-3000:] + "\n")
     _emit(out)
 
 
@@ -188,8 +252,8 @@ def _run_sections(out, extra, timings):
     timings["setup_host_s"] = round(time.time() - t0, 2)
     E = mesh.num_elements
     ndof = mesh.num_nodes * 3
-    extra.update(device=str(jax.devices()[0]), tets=E, dofs=ndof,
-                 dtype="float32")
+    extra.update(device=_clean(str(jax.devices()[0]), 24), tets=E,
+                 dofs=ndof, dtype="float32", bench_n=n)
 
     # ---- assembly throughput (amortized inside one compiled scan) --------
     M_fused = em.fused_matrix_for(D, 3, 2, dt)
@@ -197,7 +261,7 @@ def _run_sections(out, extra, timings):
     nd = n_nodes_per_elem * 3
     Ke = em.element_elasticity_fused_apply(gl, vol, M_fused, n_nodes_per_elem)
 
-    try:
+    def _sec_assembly():
         def mk_asm(L):
             @jax.jit
             def f(s, gl, vol, M_fused):
@@ -223,15 +287,26 @@ def _run_sections(out, extra, timings):
         out["value"] = round(elems_per_s, 1)
         out["vs_baseline"] = round(elems_per_s / 5e7, 4)
         extra["assembly_ms_per_call"] = round(t_asm * 1e3, 3)
-    except Exception as e:  # noqa: BLE001
-        extra["assembly_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    _section(extra, "assembly_error", _sec_assembly)
 
     # ---- general-path PCG (routed in-register SpMV) -----------------------
     # The PRODUCT path for arbitrary unstructured meshes: RoutedEBE builds
     # its own internal RCB/first-touch ordering from coordinates, so the
     # bench mesh is deliberately left in reference numbering.
-    rk = None
-    try:
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), dt)
+    free = jnp.ones((mesh.num_nodes, 3), dt)
+    state = {"rk": None, "b_i": None}
+
+    def mk_cg(L):
+        @jax.jit
+        def f(s, rk, b, diag, free):
+            return cg_mod.cg_operator_fixed(rk, b * s, diag, free,
+                                            iters=L).x
+        return f
+
+    def _sec_cg_general():
         from meshfem_tpu.sparse.routed_ebe import RoutedEBE
 
         t0 = time.time()
@@ -239,18 +314,10 @@ def _run_sections(out, extra, timings):
                              mesh.num_nodes, 3,
                              coords=np.asarray(mesh.node_positions))
         timings["routed_plan_build_s"] = round(time.time() - t0, 2)
+        state["rk"] = rk
         diag_i = rk.diagonal()
-        free = jnp.ones((mesh.num_nodes, 3), dt)
-        rng = np.random.default_rng(0)
-        b = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), dt)
         b_i = rk.permute_in(b)
-
-        def mk_cg(L):
-            @jax.jit
-            def f(s, rk, b, diag, free):
-                return cg_mod.cg_operator_fixed(rk, b * s, diag, free,
-                                                iters=L).x
-            return f
+        state["b_i"] = b_i
 
         t0 = time.time()
         t_gen = per_iter(mk_cg, (rk, b_i, diag_i, free), lens=(2, 12))
@@ -258,102 +325,57 @@ def _run_sections(out, extra, timings):
         pcg_general = 1.0 / t_gen
         extra["pcg_iters_per_s_general"] = round(pcg_general, 1)
         extra["pcg_ms_per_iter_general"] = round(t_gen * 1e3, 3)
+        extra["routed_backend"] = "dense-KeB"
         # headline PCG ratio is the GENERAL (arbitrary-mesh) path; the
         # structured grid path is reported separately below
         extra["pcg_vs_baseline_1k"] = round(pcg_general / 1e3, 4)
-    except Exception as e:  # noqa: BLE001
-        rng = np.random.default_rng(0)
-        b = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), dt)
-        free = jnp.ones((mesh.num_nodes, 3), dt)
-        extra["cg_general_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    _section(extra, "cg_general_error", _sec_cg_general)
+    rk = state["rk"]
+
+    # ---- factored isotropic routed backend (A/B vs dense KeB) ------------
+    # The reference's optimized perElementStiffness hot loop
+    # (LinearElasticity.hh:165-232) analog: grad_lambda + volume (13 f32)
+    # per element instead of the 900-f32 dense Ke, contracted by the fused
+    # Pallas kernel (sparse/contract.py).  Reported A/B against dense-KeB;
+    # also records the Mosaic lowering's on-hardware accuracy vs the
+    # dense apply (the interpret path is CPU-tested; this is the real
+    # chip check).
+    def _sec_factored():
+        from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+        lm = et.lame_parameters(D)
+        t0 = time.time()
+        rkf = RoutedEBE.build(None, np.asarray(mesh.elem_nodes),
+                              mesh.num_nodes, 3,
+                              coords=np.asarray(mesh.node_positions),
+                              factor=(gl, vol, lm[0], lm[1], 2))
+        timings["factored_build_s"] = round(time.time() - t0, 2)
+        if rk is not None:
+            u_i = state["b_i"]
+            yd = rk(u_i)
+            yf = rkf(u_i)
+            rel = float(jnp.abs(yf - yd).max() / jnp.abs(yd).max())
+            extra["contract_kernel_relerr_tpu"] = float(f"{rel:.2e}")
+        diag_f = rkf.diagonal()
+        b_f = rkf.permute_in(b)
+        t_f = per_iter(mk_cg, (rkf, b_f, diag_f, free), lens=(2, 12))
+        extra["pcg_iters_per_s_general_factored"] = round(1.0 / t_f, 1)
+        timings["cg_factored_ms_per_iter"] = round(t_f * 1e3, 3)
+
+    if not degraded:
+        _section(extra, "factored_error", _sec_factored)
 
     # gather-pyramid EBE (the f64-capable fallback operator)
     kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
     diag = kern.diagonal()
 
-    # multi-RHS block CG (homogenization's 6 cell problems): routed
-    # multi-RHS when available — the routing plan is RHS-independent so
-    # the lane gathers amortize across the 6 columns.
-    try:
-        m_rhs = 6
-        rng = np.random.default_rng(0)
-        B6 = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, m_rhs)), dt)
-        if rk is not None and hasattr(rk, "apply_block"):
-            B6_i = rk.permute_in(B6)
-            diag6 = rk.diagonal()
-            free6 = jnp.ones((mesh.num_nodes, 3), dt)
-
-            def mk_cg6(L):
-                @jax.jit
-                def f(s, rk, B6, diag, free):
-                    from meshfem_tpu.solvers.cg import cg_fixed_iters
-                    safe = jnp.where(diag > 0, diag, 1.0)[..., None]
-                    proj = lambda v: v * free[..., None]
-                    return cg_fixed_iters(rk.apply_block, B6 * s,
-                                          M_inv=lambda r: r / safe,
-                                          project=proj, iters=L).x
-                return f
-
-            t0 = time.time()
-            t_gen6 = per_iter(mk_cg6, (rk, B6_i, diag6, free6), lens=(2, 12))
-            extra["pcg_6rhs_path"] = "routed"
-        else:
-            def mk_cg6(L):
-                @jax.jit
-                def f(s, kern, B6, diag, free):
-                    from meshfem_tpu.solvers.cg import cg_fixed_iters
-                    safe = jnp.where(diag > 0, diag, 1.0)[..., None]
-                    proj = lambda v: v * free[..., None]
-                    return cg_fixed_iters(kern, B6 * s,
-                                          M_inv=lambda r: r / safe,
-                                          project=proj, iters=L).x
-                return f
-
-            t0 = time.time()
-            t_gen6 = per_iter(mk_cg6, (kern, B6, diag, free), lens=(2, 12))
-            extra["pcg_6rhs_path"] = "ebe"
-        timings["cg_general6_bench_s"] = round(time.time() - t0, 2)
-        extra["pcg_iters_per_s_general_6rhs_per_rhs"] = \
-            round(m_rhs / t_gen6, 1)
-    except Exception as e:  # noqa: BLE001
-        extra["cg_general6_error"] = f"{type(e).__name__}: {e}"[:300]
-
-    # ---- lane-packed structured conv path ---------------------------------
-    try:
-        op = StructuredP2Elasticity.build(mesh, D, dtype=dt)
-        bp = op.to_packed(b)
-        valid = op.valid_mask_packed().astype(dt)
-        diagp = op.diagonal_packed().astype(dt)
-
-        def mk_cgs(L):
-            @jax.jit
-            def f(s, op, bp, valid, diagp):
-                project = lambda v: v * valid
-                safe = jnp.where(diagp > 0, diagp, 1.0)
-                return cg_mod.cg_fixed_iters(
-                    op.apply_packed, bp * s, M_inv=lambda r: r / safe,
-                    project=project, iters=L).x
-            return f
-
-        # The structured iteration is ~0.1-0.4 ms: the trip-count difference
-        # must tower over the +-10-20 ms relay round-trip variance, so
-        # compare 16 vs 816 iterations (~200-300 ms of signal).
-        t0 = time.time()
-        t_str = per_iter(mk_cgs, (op, bp, valid, diagp), lens=(16, 816),
-                         reps=5)
-        timings["cg_structured_bench_s"] = round(time.time() - t0, 2)
-        pcg_structured = 1.0 / t_str
-        extra["pcg_iters_per_s_structured"] = round(pcg_structured, 1)
-        extra["pcg_ms_per_iter_structured"] = round(t_str * 1e3, 3)
-        extra["pcg_vs_baseline_1k_structured"] = round(pcg_structured / 1e3,
-                                                       4)
-    except Exception as e:  # noqa: BLE001
-        extra["cg_structured_error"] = f"{type(e).__name__}: {e}"[:300]
-
     # ---- solve-to-tolerance: f64 refinement around the f32 routed CG ------
     # The reference's CHOLMOD role (all-f64 solve); target 1e-8 fields on
     # the DEVICE path.  Fix one face, load the opposite one, solve to
     # 1e-10 relative residual and report rounds + achieved residual.
+    # RUNS EARLY (right after the headline PCG sections): BENCH_r03/r04
+    # lost exactly these at-scale numbers to late-run relay flakes.
     from meshfem_tpu.solvers.refine import refine as mp_refine
 
     X = np.asarray(mesh.node_positions)
@@ -430,6 +452,90 @@ def _run_sections(out, extra, timings):
 
     _section(extra, "amg_error", _sec_amg)
 
+    # multi-RHS block CG (homogenization's 6 cell problems): routed
+    # multi-RHS when available — the routing plan is RHS-independent so
+    # the lane gathers amortize across the 6 columns.
+    def _sec_cg6():
+        m_rhs = 6
+        rng = np.random.default_rng(0)
+        B6 = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, m_rhs)), dt)
+        if rk is not None and hasattr(rk, "apply_block"):
+            B6_i = rk.permute_in(B6)
+            diag6 = rk.diagonal()
+            free6 = jnp.ones((mesh.num_nodes, 3), dt)
+
+            def mk_cg6(L):
+                @jax.jit
+                def f(s, rk, B6, diag, free):
+                    from meshfem_tpu.solvers.cg import cg_fixed_iters
+                    safe = jnp.where(diag > 0, diag, 1.0)[..., None]
+                    proj = lambda v: v * free[..., None]
+                    return cg_fixed_iters(rk.apply_block, B6 * s,
+                                          M_inv=lambda r: r / safe,
+                                          project=proj, iters=L).x
+                return f
+
+            t0 = time.time()
+            t_gen6 = per_iter(mk_cg6, (rk, B6_i, diag6, free6), lens=(2, 12))
+            extra["pcg_6rhs_path"] = "routed"
+        else:
+            def mk_cg6(L):
+                @jax.jit
+                def f(s, kern, B6, diag, free):
+                    from meshfem_tpu.solvers.cg import cg_fixed_iters
+                    safe = jnp.where(diag > 0, diag, 1.0)[..., None]
+                    proj = lambda v: v * free[..., None]
+                    return cg_fixed_iters(kern, B6 * s,
+                                          M_inv=lambda r: r / safe,
+                                          project=proj, iters=L).x
+                return f
+
+            t0 = time.time()
+            t_gen6 = per_iter(mk_cg6, (kern, B6, diag, free), lens=(2, 12))
+            extra["pcg_6rhs_path"] = "ebe"
+        timings["cg_general6_bench_s"] = round(time.time() - t0, 2)
+        extra["pcg_iters_per_s_general_6rhs_per_rhs"] = \
+            round(m_rhs / t_gen6, 1)
+
+    _section(extra, "cg_general6_error", _sec_cg6)
+
+    # ---- lane-packed structured conv path ---------------------------------
+    def _sec_structured():
+        op = StructuredP2Elasticity.build(mesh, D, dtype=dt)
+        bp = op.to_packed(b)
+        valid = op.valid_mask_packed().astype(dt)
+        diagp = op.diagonal_packed().astype(dt)
+
+        def mk_cgs(L):
+            @jax.jit
+            def f(s, op, bp, valid, diagp):
+                project = lambda v: v * valid
+                safe = jnp.where(diagp > 0, diagp, 1.0)
+                return cg_mod.cg_fixed_iters(
+                    op.apply_packed, bp * s, M_inv=lambda r: r / safe,
+                    project=project, iters=L).x
+            return f
+
+        # The structured iteration is ~0.1-0.4 ms: the trip-count difference
+        # must tower over the +-10-20 ms relay round-trip variance, so
+        # compare 16 vs 816 iterations (~200-300 ms of signal).
+        t0 = time.time()
+        t_str = per_iter(mk_cgs, (op, bp, valid, diagp), lens=(16, 816),
+                         reps=5)
+        timings["cg_structured_bench_s"] = round(time.time() - t0, 2)
+        pcg_structured = 1.0 / t_str
+        extra["pcg_iters_per_s_structured"] = round(pcg_structured, 1)
+        extra["pcg_ms_per_iter_structured"] = round(t_str * 1e3, 3)
+        extra["pcg_vs_baseline_1k_structured"] = round(pcg_structured / 1e3,
+                                                       4)
+        # cross-round comparability (round-4 lesson: r2 2367.5 vs r4
+        # 1294.8 it/s had no config on the record to tell why)
+        extra["structured_cfg"] = (
+            f"grid n={n} P2 f32 lane-packed-conv lens=16/816 "
+            f"{jax.default_backend()}")
+
+    _section(extra, "cg_structured_error", _sec_structured)
+
     # ---- structured geometric multigrid (ops/structured_mg.py) -----------
     # The CHOLMOD-role solve for structured grids: V-cycle-preconditioned
     # CG (f32, HIGHEST-precision convs) + f64 refinement to 1e-10.  Only
@@ -454,7 +560,7 @@ def _run_sections(out, extra, timings):
             best = min(best, time.time() - t0)
         extra["mg_solve_ms_f32"] = round(best * 1e3, 1)
         extra["mg_cg_iters"] = int(res_mg.iters)
-        extra["mg_levels"] = [list(l.n3) for l in mg.levels]
+        timings["mg_levels"] = [list(l.n3) for l in mg.levels]
 
         # f64-refined MG solve to 1e-10 (full CHOLMOD parity on device)
         def solve_lo_mg(r32):

@@ -144,6 +144,19 @@ def _fused_elasticity_matrix(K: int, deg: int, D_key, C_full: np.ndarray,
 _FUSED_CACHE: dict = {}
 
 
+def _f32_default_precision(arr, precision):
+    """f32 stiffness assembly defaults to HIGHEST matmul precision: the
+    TPU's default f32 matmul runs bf16 passes, leaving ~1e-3 relative
+    error in the ASSEMBLED OPERATOR (measured 1.3e-3 vs the exact Ke at
+    bench scale, v5e) — unacceptable for a solver matrix.  The extra MXU
+    passes cost little here because the fused assembly is bound by the
+    [E, (nd)^2] output write, not FLOPs.  Callers wanting raw-speed
+    throwaway assembly can pass an explicit precision."""
+    if precision is None and arr.dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
 def fused_matrix_for(D, K: int, deg: int, dtype) -> jnp.ndarray:
     """The fused constant tensor used by element_elasticity_fused, exposed
     so callers can pass it as a jit ARGUMENT (embedded big constants can
@@ -158,19 +171,21 @@ def fused_matrix_for(D, K: int, deg: int, dtype) -> jnp.ndarray:
         _fused_elasticity_matrix(K, deg, None, C_full, dtype))
 
 
-def element_elasticity_fused_apply(grad_lambda, volume, M, n: int):
+def element_elasticity_fused_apply(grad_lambda, volume, M, n: int,
+                                   precision=None):
     """Pure fused assembly given the precomputed matrix M [(K+1)d)^2, (nd)^2]
     (see fused_matrix_for); fully jit/cache-friendly."""
     K = grad_lambda.shape[-2] - 1
     dim = grad_lambda.shape[-1]
     E = grad_lambda.shape[0]
+    precision = _f32_default_precision(grad_lambda, precision)
     gdim = (K + 1) * dim
     gg = jnp.einsum("eka,elb->ekalb", grad_lambda,
-                    grad_lambda).reshape(E, gdim * gdim)
+                    grad_lambda, precision=precision).reshape(E, gdim * gdim)
     # vol folded into the SMALL gg operand: scaling the matmul OUTPUT can
     # cost a full extra [E, (nd)^2] read+write pass when XLA fails to fuse
     # the epilogue (925 MB at bench scale).
-    Ke = jnp.matmul(gg * volume[:, None], M)
+    Ke = jnp.matmul(gg * volume[:, None], M, precision=precision)
     return Ke.reshape(E, n * dim, n * dim)
 
 
@@ -192,15 +207,16 @@ def fused_matrix_sym_for(D, K: int, deg: int, dtype):
 
 
 def element_elasticity_fused_apply_sym(grad_lambda, volume, M_sym, idx_a,
-                                       idx_b, n: int):
+                                       idx_b, n: int, precision=None):
     """Fused assembly through the symmetric-pair matrix (fused_matrix_sym_for):
     one [E, npairs] product + one [E, npairs] x [npairs, (nd)^2] matmul."""
     K = grad_lambda.shape[-2] - 1
     dim = grad_lambda.shape[-1]
     E = grad_lambda.shape[0]
+    precision = _f32_default_precision(grad_lambda, precision)
     gflat = grad_lambda.reshape(E, (K + 1) * dim)
     gg = gflat[:, idx_a] * gflat[:, idx_b]            # [E, npairs]
-    Ke = jnp.matmul(gg, M_sym) * volume[:, None]
+    Ke = jnp.matmul(gg, M_sym, precision=precision) * volume[:, None]
     return Ke.reshape(E, n * dim, n * dim)
 
 
@@ -210,8 +226,10 @@ def element_elasticity_fused(grad_lambda, volume, D, deg: int,
     outer product + one [E, (K+1)^2 d^2] x [.., (nd)^2] matmul.
 
     ~4x faster than the einsum path on TPU (28.8M P2 tets/s vs 6.7M on v5e).
-    ``precision``: pass jax.lax.Precision.HIGHEST for full f32 accuracy on
-    TPU (default MXU f32 matmul uses bf16 passes, ~1e-3 relative error)."""
+    ``precision``: f32 inputs DEFAULT to jax.lax.Precision.HIGHEST (the
+    TPU's default f32 matmul runs bf16 passes — ~1e-3 relative error in
+    the assembled operator); pass an explicit lower precision only for
+    throwaway assembly."""
     K = grad_lambda.shape[-2] - 1
     dim = grad_lambda.shape[-1]
     n = gradgrad_table(K, deg).shape[-1]
@@ -233,6 +251,7 @@ def element_elasticity_fused(grad_lambda, volume, D, deg: int,
         M = _fused_elasticity_matrix(K, deg, key, C_full, grad_lambda.dtype)
         _FUSED_CACHE[key] = M
     E = grad_lambda.shape[0]
+    precision = _f32_default_precision(grad_lambda, precision)
     gdim = (K + 1) * dim
     gg = jnp.einsum("eka,elb->ekalb", grad_lambda, grad_lambda,
                     precision=precision).reshape(E, gdim * gdim)
@@ -263,6 +282,7 @@ def element_elasticity(grad_lambda, volume, D, deg: int, precision=None):
             return element_elasticity_fused(grad_lambda, volume, D, deg,
                                             precision=precision)
     T = jnp.asarray(gradgrad_table(K, deg), dtype=grad_lambda.dtype)
+    precision = _f32_default_precision(grad_lambda, precision)
     C = to_full(D.astype(grad_lambda.dtype))              # [E, d,d,d,d]
     H = jnp.einsum("eka,elb,ecafb->eklcf", grad_lambda, grad_lambda, C,
                    precision=precision)

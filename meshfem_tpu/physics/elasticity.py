@@ -444,7 +444,15 @@ class ElasticitySimulator:
         routed operator is f32 — tolerances tighter than ~1e-5 run f32
         inner CG inside f64 iterative refinement (``solvers/refine``),
         which replaces the reference's all-f64 CHOLMOD solve at a
-        fraction of the per-iteration cost."""
+        fraction of the per-iteration cost.
+
+        Refined-path semantics (``_solve_routed`` / ``_solve_ebe_refined``
+        when tol < ~1e-5 on TPU): ``maxiter`` bounds EACH inner f32 CG
+        round (up to 12 refinement rounds), so total inner iterations can
+        exceed it; the returned ``CGResult.iters`` reports the CUMULATIVE
+        inner-iteration count.  If the f32 floor (kappa * eps32) sits
+        above ``tol`` the refinement stops honestly with a RuntimeWarning
+        — check ``CGResult.resnorm`` when solving near-singular systems."""
         d = self.dim
         b = self.neumann_load
         if extra_load is not None:

@@ -17,6 +17,7 @@ solves.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
@@ -62,4 +63,17 @@ def refine(apply_hi: Callable, solve_lo: Callable, b, *,
         x = x + jnp.asarray(dx, jnp.float64)
     r = b - apply_hi(x)
     rel = float(jnp.linalg.norm(r)) / bn
+    if rel > tol:
+        # Stagnation is an accuracy FLOOR (kappa * eps32), not progress
+        # that ran out of budget: more rounds cannot help, but the caller
+        # asked for better than we delivered — say so loudly rather than
+        # returning silently (the reference's CHOLMOD either solves or
+        # raises; this is the honest iterative analog).
+        warnings.warn(
+            f"iterative refinement stagnated at relative residual "
+            f"{rel:.3e} (requested tol {tol:.1e}, {rounds} rounds, "
+            f"{total_inner} inner iterations) — the f32 inner solve hit "
+            f"its kappa*eps32 floor; check RefineResult.resnorm / "
+            f"CGResult.resnorm before trusting the solution",
+            RuntimeWarning, stacklevel=2)
     return RefineResult(x, rounds, rel, total_inner)

@@ -146,8 +146,11 @@ def _factored_kernel(g_ref, vol_ref, u_ref, tm1_ref, tm2_ref, tq_ref,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), body, jnp.int32(0))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _factored_call(Eb, n, K1, dim, lam, mu, B, interpret):
+    # lam/mu are baked into the kernel (compile-time constants feeding
+    # scalar FMAs); the cache is BOUNDED so a material sweep recompiles
+    # rather than accumulating one pallas_call per visited value.
     npd = _npad(n)
     steps = -(-Eb // B)
     kern = functools.partial(_factored_kernel, B=B, n=n, K1=K1, dim=dim,

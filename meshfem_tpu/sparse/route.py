@@ -89,6 +89,78 @@ def _route_vreg(x_ref, win_ref, widx, lidx, base, chain):
     return acc
 
 
+def _route_vreg_planes(x_ref, win_ref, widx, lidx, base, chain, planes):
+    """Planes-mode routing: ONE index stream (widx/lidx/win) routes
+    ``planes`` value planes that share the routing pattern (vector
+    components, multi-RHS columns).  The index decode and the per-chain
+    mask are computed once and reused for every plane — index traffic
+    and chain bookkeeping amortize ``planes``-fold, which matters because
+    pidx is as large as one plane of routed output."""
+    accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(planes)]
+    for k in range(chain):
+        w = win_ref[base + k]
+        mask = widx == k
+        for p in range(planes):
+            row = x_ref[p, pl.ds(w, 1), :]             # [1, 128]
+            rowb = jnp.broadcast_to(row, (8, 128))
+            g = _lane_gather(rowb, lidx)
+            accs[p] = accs[p] + jnp.where(mask, g, 0.0)
+    return accs
+
+
+def _u_unroll(planes):
+    """Vregs unrolled per inner iteration: scale down with planes to keep
+    the live accumulator count (planes * U) near the legacy 8."""
+    u = max(1, U_UNROLL // planes)
+    while B_VREGS % u:
+        u -= 1
+    return u
+
+
+def _copy_kernel_p(blk_ref, win_ref, pidx_ref, x_ref, o_ref, *,
+                   chain, planes, u_unroll):
+    pid = pl.program_id(0)
+
+    def body(t, carry):
+        slab = pidx_ref[pl.ds(t * u_unroll, u_unroll)]  # [U,8,128] int32
+        for u in range(u_unroll):
+            v = t * u_unroll + u
+            accs = _route_vreg_planes(
+                x_ref, win_ref, slab[u] >> 7, slab[u] & 127,
+                (pid * B_VREGS + v) * chain, chain, planes)
+            for p in range(planes):
+                o_ref[p, pl.ds(v, 1)] = accs[p][None]
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(B_VREGS // u_unroll), body,
+                      jnp.int32(0))
+
+
+def _reduce_kernel_p(blk_ref, init_ref, obk_ref, relw_ref, win_ref,
+                     pidx_ref, x_ref, o_ref, *, chain, planes, u_unroll):
+    pid = pl.program_id(0)
+
+    @pl.when(init_ref[pid] == 1)
+    def _():
+        o_ref[:] = jnp.zeros((planes, YBLOCK, 128), jnp.float32)
+
+    def body(t, carry):
+        slab = pidx_ref[pl.ds(t * u_unroll, u_unroll)]
+        for u in range(u_unroll):
+            v = t * u_unroll + u
+            accs = _route_vreg_planes(
+                x_ref, win_ref, slab[u] >> 7, slab[u] & 127,
+                (pid * B_VREGS + v) * chain, chain, planes)
+            rw = relw_ref[pid * B_VREGS + v]
+            for p in range(planes):
+                part = jnp.sum(accs[p], axis=0)[None]   # [1, 128]
+                o_ref[p, pl.ds(rw, 1)] = o_ref[p, pl.ds(rw, 1)] + part
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(B_VREGS // u_unroll), body,
+                      jnp.int32(0))
+
+
 def _copy_kernel(blk_ref, win_ref, pidx_ref, x_ref, o_ref, *, chain):
     pid = pl.program_id(0)
 
@@ -150,6 +222,54 @@ def _copy_call(chain, n_vregs, blk_rows, src_rows, interpret):
                                    lambda i, *_: (i, _Z, _Z)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_vregs, 8, 128), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _copy_call_p(chain, n_vregs, blk_rows, src_rows, planes, interpret):
+    u = _u_unroll(planes)
+    return pl.pallas_call(
+        functools.partial(_copy_kernel_p, chain=chain, planes=planes,
+                          u_unroll=u),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,                     # blk, win
+            grid=(n_vregs // B_VREGS,),
+            in_specs=[
+                pl.BlockSpec((B_VREGS, 8, 128), lambda i, *_: (i, _Z, _Z)),
+                pl.BlockSpec((planes, blk_rows, 128),
+                             lambda i, blk, win: (_Z, blk[i], _Z)),
+            ],
+            out_specs=pl.BlockSpec((planes, B_VREGS, 8, 128),
+                                   lambda i, *_: (_Z, i, _Z, _Z)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((planes, n_vregs, 8, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _reduce_call_p(chain, n_steps, n_blocks, blk_rows, src_rows, planes,
+                   interpret):
+    u = _u_unroll(planes)
+    return pl.pallas_call(
+        functools.partial(_reduce_kernel_p, chain=chain, planes=planes,
+                          u_unroll=u),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,            # blk, init, obk, relw, win
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((B_VREGS, 8, 128), lambda i, *_: (i, _Z, _Z)),
+                pl.BlockSpec((planes, blk_rows, 128),
+                             lambda i, blk, *_: (_Z, blk[i], _Z)),
+            ],
+            out_specs=pl.BlockSpec(
+                (planes, YBLOCK, 128),
+                lambda i, blk, init, obk, relw, win: (_Z, obk[i], _Z)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((planes, n_blocks * YBLOCK, 128),
+                                       jnp.float32),
         interpret=interpret,
     )
 
@@ -225,10 +345,25 @@ def _pad_to_rows(src_flat, src_rows):
     return x.reshape(src_rows, 128)
 
 
+def _pad_to_rows_p(src, planes, src_rows):
+    """[planes, n_src] -> [planes, src_rows, 128] zero-padded planes."""
+    src = src.reshape(planes, -1).astype(jnp.float32)
+    pad = src_rows * 128 - src.shape[1]
+    if pad:
+        src = jnp.concatenate(
+            [src, jnp.zeros((planes, pad), jnp.float32)], axis=1)
+    return src.reshape(planes, src_rows, 128)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CopyPlan:
-    """Routed gather: ``copy(src)[i] == src[src_ids[i]]`` (0.0 where -1)."""
+    """Routed gather: ``copy(src)[i] == src[src_ids[i]]`` (0.0 where -1).
+
+    With ``planes > 1`` the SAME per-plane routing serves ``planes``
+    stacked value planes (src ``[planes, n_src]`` -> out
+    ``[planes, n_out]``): vector components / multi-RHS columns share one
+    index stream (see :func:`_route_vreg_planes`)."""
 
     buckets: tuple
     restore: jnp.ndarray        # [NV] int32: original vreg -> compact pos
@@ -237,16 +372,41 @@ class CopyPlan:
     n_out: int
     src_rows: int
     blk_rows: int
+    planes: int = 1
 
     def tree_flatten(self):
         return ((self.buckets, self.restore, self.fix_pos, self.fix_src),
-                (self.n_out, self.src_rows, self.blk_rows))
+                (self.n_out, self.src_rows, self.blk_rows, self.planes))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         return cls(ch[0], ch[1], ch[2], ch[3], *aux)
 
-    def __call__(self, src_flat, *, interpret=False):
+    def __call__(self, src, *, interpret=False):
+        if self.planes == 1:
+            return self._call1(src, interpret)
+        src2 = src.reshape(self.planes, -1)
+        x2 = _pad_to_rows_p(src2, self.planes, self.src_rows)
+        outs = []
+        for b in self.buckets:
+            call = _copy_call_p(b.chain, b.pidx.shape[0], self.blk_rows,
+                                self.src_rows, self.planes, interpret)
+            outs.append(call(b.blk, b.win, b.pidx, x2))
+        if not outs:
+            out = jnp.zeros((self.planes, 1, 8, 128), src2.dtype)
+        else:
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                                 axis=1)
+        out = out[:, self.restore]
+        flat = out.reshape(self.planes, -1)[:, : self.n_out]
+        if self.fix_pos.shape[0]:
+            flat = flat.at[:, self.fix_pos].set(
+                jnp.where(self.fix_src[None, :] >= 0,
+                          src2[:, jnp.maximum(self.fix_src, 0)], 0.0)
+                .astype(flat.dtype))
+        return flat
+
+    def _call1(self, src_flat, interpret):
         x2 = _pad_to_rows(src_flat, self.src_rows)
         outs = []
         for b in self.buckets:
@@ -271,7 +431,10 @@ class CopyPlan:
 @dataclasses.dataclass
 class ReducePlan:
     """Routed deterministic segment-sum:
-    ``reduce(src)[d] == sum_{i: dst_ids[i]==d} src[i]``."""
+    ``reduce(src)[d] == sum_{i: dst_ids[i]==d} src[i]``.
+
+    With ``planes > 1``: src ``[planes, n_src]`` -> out
+    ``[planes, n_out]`` through one shared index stream."""
 
     buckets: tuple
     block_pos: jnp.ndarray      # [NBL] int32 -> row into concat blocks (or -1)
@@ -280,16 +443,44 @@ class ReducePlan:
     n_out: int
     src_rows: int
     blk_rows: int
+    planes: int = 1
 
     def tree_flatten(self):
         return ((self.buckets, self.block_pos, self.fix_dst, self.fix_src),
-                (self.n_out, self.src_rows, self.blk_rows))
+                (self.n_out, self.src_rows, self.blk_rows, self.planes))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         return cls(ch[0], ch[1], ch[2], ch[3], *aux)
 
-    def __call__(self, src_flat, *, interpret=False):
+    def __call__(self, src, *, interpret=False):
+        if self.planes == 1:
+            return self._call1(src, interpret)
+        src2 = src.reshape(self.planes, -1)
+        x2 = _pad_to_rows_p(src2, self.planes, self.src_rows)
+        outs = []
+        for b in self.buckets:
+            call = _reduce_call_p(b.chain, b.blk.shape[0], b.n_blocks,
+                                  self.blk_rows, self.src_rows,
+                                  self.planes, interpret)
+            outs.append(
+                call(b.blk, b.init, b.obk, b.relw, b.win, b.pidx,
+                     x2).reshape(self.planes, b.n_blocks, YBLOCK, 128))
+        if not outs:
+            blocks = jnp.zeros((self.planes, 0, YBLOCK, 128), src2.dtype)
+        else:
+            blocks = outs[0] if len(outs) == 1 \
+                else jnp.concatenate(outs, axis=1)
+        zero = jnp.zeros((self.planes, 1, YBLOCK, 128), blocks.dtype)
+        blocks = jnp.concatenate([blocks, zero], axis=1)
+        y = blocks[:, self.block_pos]          # [planes, NBL, YBLOCK, 128]
+        flat = y.reshape(self.planes, -1)[:, : self.n_out]
+        if self.fix_dst.shape[0]:
+            flat = flat.at[:, self.fix_dst].add(
+                src2[:, self.fix_src].astype(flat.dtype))
+        return flat
+
+    def _call1(self, src_flat, interpret):
         x2 = _pad_to_rows(src_flat, self.src_rows)
         outs = []
         for b in self.buckets:
@@ -326,6 +517,16 @@ def pack_to_device(tree):
     (one int16 for leaves whose values fit, halving the bytes on the
     wire) and device-sliced back into place."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for l in leaves:
+        a = np.asarray(l)
+        # every plan leaf today is an int32-safe index array; a float or
+        # >int32 leaf added later must fail HERE, not be silently
+        # truncated into garbage routing indices
+        assert np.issubdtype(a.dtype, np.integer), \
+            f"pack_to_device: non-integer plan leaf dtype {a.dtype}"
+        assert a.size == 0 or (a.min() >= np.iinfo(np.int32).min
+                               and a.max() <= np.iinfo(np.int32).max), \
+            "pack_to_device: plan leaf value exceeds int32 range"
     arrs = [np.ascontiguousarray(np.asarray(l, np.int32)) for l in leaves]
     is16 = [a.size > 0 and a.min() >= -32768 and a.max() <= 32767
             for a in arrs]
@@ -415,8 +616,23 @@ def _round_rows(n_src, blk_rows_req):
     return rows, blk
 
 
-def plan_copy(src_ids, n_src: int, blk_rows: int = 12288) -> CopyPlan:
-    """Compile a routed gather (out[i] = src[src_ids[i]]; -1 -> 0.0)."""
+def _default_blk_rows(blk_rows, planes):
+    """Per-plane VMEM source-block rows: the resident block is
+    [planes, blk_rows, 128] f32, so keep planes * blk_rows near the
+    single-plane budget (12288 rows ~ 6.3 MB)."""
+    if blk_rows is not None:
+        return blk_rows
+    return max(8, (12288 // planes) // 8 * 8)
+
+
+def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
+              planes: int = 1) -> CopyPlan:
+    """Compile a routed gather (out[i] = src[src_ids[i]]; -1 -> 0.0).
+
+    ``planes``: bake the plan for planes-mode dispatch — ``src_ids`` are
+    PLANE-LOCAL (in [0, n_src)); at call time ``planes`` stacked value
+    planes of length ``n_src`` route through the shared index stream."""
+    blk_rows = _default_blk_rows(blk_rows, planes)
     src_ids = np.ascontiguousarray(np.asarray(src_ids, np.int64).reshape(-1))
     n_out = len(src_ids)
     NV = max(-(-n_out // 1024), 1)
@@ -468,7 +684,7 @@ def plan_copy(src_ids, n_src: int, blk_rows: int = 12288) -> CopyPlan:
         tuple(buckets), np.asarray(pos_of, np.int32),
         np.asarray(sp_pos[keep], np.int32),
         np.asarray(sp_src[keep], np.int32),
-        n_out, src_rows, blk_rows))
+        n_out, src_rows, blk_rows, planes))
 
 
 def _emit_copy_bucket(sel, sid, vblk, ch, blk_rows, buckets, pos_of,
@@ -515,8 +731,9 @@ def _emit_copy_bucket(sel, sid, vblk, ch, blk_rows, buckets, pos_of,
 
 
 def plan_reduce(dst_ids, n_out: int, n_src: int,
-                blk_rows: int = 12288, chain_budget: int = BUCKETS[-1]
-                ) -> ReducePlan:
+                blk_rows: int | None = None,
+                chain_budget: int = BUCKETS[-1],
+                planes: int = 1) -> ReducePlan:
     """Compile a routed deterministic segment-sum over ``src[i] -> dst_ids[i]``.
 
     Work layout: output window w covers dofs [128w, 128w + 128); each task
@@ -525,7 +742,11 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
     [YBLOCK, 128] output block.  Chunks of 8 contributions are packed into
     tasks by occurrence rank under a per-window min-source-window sort
     (fully vectorized — no per-chunk host loop); tasks whose chain exceeds
-    the bucket ladder spill their far slots to the XLA fix-up list."""
+    the bucket ladder spill their far slots to the XLA fix-up list.
+
+    ``planes``: as in :func:`plan_copy` — plane-local ids, planes-mode
+    dispatch at call time."""
+    blk_rows = _default_blk_rows(blk_rows, planes)
     dst_ids = np.ascontiguousarray(np.asarray(dst_ids, np.int64).reshape(-1))
     S = len(dst_ids)
     valid = np.nonzero(dst_ids >= 0)[0]
@@ -707,4 +928,4 @@ def plan_reduce(dst_ids, n_out: int, n_src: int,
     return pack_to_device(ReducePlan(
         tuple(buckets), np.asarray(block_pos, np.int32),
         np.asarray(fd, np.int32), np.asarray(fs, np.int32),
-        n_out, src_rows, blk_rows))
+        n_out, src_rows, blk_rows, planes))

@@ -71,52 +71,54 @@ _PLAN_CACHE_MAX = 8
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SumPlan:
-    """A <=8-fan-in reduce rung as COPY-plan + sublane sum.
+    """A <=cap-fan-in reduce rung as COPY-plan + sublane sum.
 
     The inner :class:`~meshfem_tpu.sparse.route.CopyPlan` routes slabs
-    ``[window, 8, 128]`` — one vreg per output window, its up-to-8
-    contributions on the sublanes — and the sum folds them to the
-    ``[window, 128]`` output.  Each slab slot holds at most ONE
-    contribution (fan-in is capped by ``_split_compact``), so the copy
-    plan's set-style XLA fix-up stays correct and the summation order is
-    fixed (deterministic)."""
+    ``[window, cap, 128]`` — its up-to-``cap`` contributions on the
+    sublanes — and the sum folds them to the ``[window, 128]`` output.
+    Each slab slot holds at most ONE contribution (fan-in is capped by
+    ``_split_compact``), so the copy plan's set-style XLA fix-up stays
+    correct and the summation order is fixed (deterministic).  The plan
+    runs in PLANES mode: the d component planes (and multi-RHS columns)
+    share one index stream."""
 
     plan: CopyPlan
+    cap: int = 8
 
     @property
     def n_out(self):
-        return self.plan.n_out // 8
+        return self.plan.n_out // self.cap
 
     @property
     def buckets(self):
         return self.plan.buckets
 
-    def __call__(self, src_flat, *, interpret=False):
-        y = self.plan(src_flat, interpret=interpret)
-        return y.reshape(-1, 8, 128).sum(axis=1).reshape(-1)
+    def __call__(self, src, *, interpret=False):
+        """src [planes, plane_len] -> [planes, n_out]."""
+        y = self.plan(src, interpret=interpret)
+        if self.plan.planes == 1:
+            return y.reshape(-1, self.cap, 128).sum(axis=1).reshape(-1)
+        return y.reshape(self.plan.planes, -1, self.cap, 128) \
+            .sum(axis=2).reshape(self.plan.planes, -1)
 
     def tree_flatten(self):
-        return (self.plan,), ()
+        return (self.plan,), (self.cap,)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0])
+        return cls(ch[0], *aux)
 
 
-def _sum_plan(G_src, plane_len, coff):
-    """Build a :class:`SumPlan` from gather planes ``G_src [8, n_ids]``
+def _sum_plan(G_src, plane_len, d, cap=8):
+    """Build a :class:`SumPlan` from gather planes ``G_src [cap, n_ids]``
     (source position of each id's k-th contribution in a per-component
     plane of ``plane_len``, -1 when absent; n_ids a multiple of 128).
-    Components are stacked window-major with ``c * plane_len`` offsets."""
-    d = len(coff)
+    The d component planes share the plan (planes mode)."""
     n_ids = G_src.shape[1]
     NW = n_ids // 128
     assert NW * 128 == n_ids
-    slab = np.transpose(G_src.reshape(8, NW, 128), (1, 0, 2))
-    ids = np.where(slab[None] >= 0,
-                   slab[None] + (coff * plane_len)[:, None, None, None],
-                   np.int64(-1))                   # [d, NW, 8, 128]
-    return SumPlan(plan_copy(ids.reshape(-1), d * plane_len))
+    slab = np.transpose(G_src.reshape(cap, NW, 128), (1, 0, 2))
+    return SumPlan(plan_copy(slab.reshape(-1), plane_len, planes=d), cap)
 
 
 def _split_compact(grp, node, cap, pad=128):

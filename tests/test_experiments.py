@@ -40,6 +40,21 @@ def test_stress_extrusion_curves():
     assert curve_distance(c2, c2) == 0.0
 
 
+def test_fit_validation_roundtrips():
+    import numpy as _np
+    from fit_validation import (check_isotropic_roundtrip,
+                                check_orthotropic_roundtrip,
+                                check_simulation_roundtrip)
+
+    rng = _np.random.default_rng(0)
+    E, nu = check_isotropic_roundtrip(rng, 2)
+    assert abs(E - 2.3) < 1e-6 and abs(nu - 0.31) < 1e-6
+    fit = check_orthotropic_roundtrip(rng, 3)
+    assert abs(fit["mu_xy"] - 0.4) < 1e-6
+    du = check_simulation_roundtrip(6, 2)
+    assert du < 1e-5
+
+
 def test_animate_cstrain_outputs(tmp_path):
     import runpy
 
