@@ -460,8 +460,19 @@ def _run_sections(out, extra, timings):
         rng = np.random.default_rng(0)
         B6 = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, m_rhs)), dt)
         if rk is not None and hasattr(rk, "apply_block"):
-            B6_i = rk.permute_in(B6)
-            diag6 = rk.diagonal()
+            from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+
+            # block plans: all 6 columns x 3 components through ONE index
+            # stream (the single-vector plans come from the plan cache)
+            t0 = time.time()
+            rk6 = RoutedEBE.build(Ke, np.asarray(mesh.elem_nodes),
+                                  mesh.num_nodes, 3,
+                                  coords=np.asarray(mesh.node_positions),
+                                  block_rhs=m_rhs)
+            timings["block_plan_build_s"] = round(time.time() - t0, 2)
+            rk_b = rk6
+            B6_i = rk_b.permute_in(B6)
+            diag6 = rk_b.diagonal()
             free6 = jnp.ones((mesh.num_nodes, 3), dt)
 
             def mk_cg6(L):
@@ -476,8 +487,9 @@ def _run_sections(out, extra, timings):
                 return f
 
             t0 = time.time()
-            t_gen6 = per_iter(mk_cg6, (rk, B6_i, diag6, free6), lens=(2, 12))
-            extra["pcg_6rhs_path"] = "routed"
+            t_gen6 = per_iter(mk_cg6, (rk_b, B6_i, diag6, free6),
+                              lens=(2, 12))
+            extra["pcg_6rhs_path"] = "routed-block-planes"
         else:
             def mk_cg6(L):
                 @jax.jit

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def per_iter(make_f, args, lens=(2, 12), reps=3):
+def per_iter(make_f, args, lens=(4, 64), reps=3):
     ts = {}
     for L in lens:
         f = make_f(L)
@@ -96,21 +96,41 @@ def main():
     src = jnp.asarray(rng.standard_normal(3 * N).astype(np.float32))
     ue = jnp.asarray(rng.standard_normal((3, Eb, nn, 128)).astype(np.float32))
 
-    mk = scan3(lambda x, p: p(x)[: 3 * N])
-    print(f"gather:   {per_iter(lambda L: mk(L), (src, rk.gather))*1e3:.2f}"
+    mk = scan3(lambda x, p: p(x)[:, :N])
+    src3 = src.reshape(3, N)
+    print(f"gather:   {per_iter(lambda L: mk(L), (src3, rk.gather))*1e3:.2f}"
           " ms", flush=True)
     mk = scan3(lambda x, K: jnp.einsum("eACacl,ceal->CeAl", K, x))
     print(f"contract: {per_iter(lambda L: mk(L), (ue, rk.KeB))*1e3:.2f} ms",
           flush=True)
-    n_in = 3 * Eb * nd // 3 * 128  # = d * Eb * n * 128 slots
-    n_in = Eb * nd * 128
+    n_in = Eb * nn * 128           # slots per plane
     for nm, p in plans[1:]:
-        x_in = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
-        mk = scan3(lambda x, p: jnp.pad(p(x), (0, max(n_in - p.n_out, 0)))
-                   [:n_in])
+        x_in = jnp.asarray(rng.standard_normal((3, n_in))
+                           .astype(np.float32))
+        n_out_p = p.n_out if not hasattr(p, "plan") else p.n_out
+
+        def stage(x, p=p, n_in=n_in):
+            y = p(x).reshape(3, -1)
+            return jnp.pad(y, ((0, 0), (0, max(n_in - y.shape[1], 0)))
+                           )[:, :n_in]
+
+        mk = scan3(stage)
         print(f"{nm}:    {per_iter(lambda L: mk(L), (x_in, p))*1e3:.2f}"
               " ms", flush=True)
-        n_in = p.n_out
+        n_in = n_out_p
+    # chained pipeline without the user-layout transposes (planes in/out):
+    # isolates the __call__ glue (transposes, n_out slicing, fix-ups)
+    def chained(x, k):
+        Eb_, n_ = k.KeB.shape[0], k.KeB.shape[1]
+        ue = k.gather(x, interpret=False).reshape(3, Eb_, n_, 128)
+        fe = k._contract(ue)
+        y = k._scatter(fe.reshape(3, -1))
+        return y[:, :N] * 1.0
+
+    mk = scan3(chained)
+    print(f"chained (planes in/out): "
+          f"{per_iter(lambda L: mk(L), (src3, rk))*1e3:.2f} ms", flush=True)
+
     mk = scan3(lambda x, k: k(x))
     print(f"full apply: {per_iter(lambda L: mk(L), (u, rk))*1e3:.2f} ms",
           flush=True)

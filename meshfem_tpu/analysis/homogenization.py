@@ -159,8 +159,8 @@ def _solve_cell_problems_routed(sim, tol, maxiter, precond, project):
     dim = sim.dim
     fl = flat_len(dim)
     f32 = jnp.float32
-    rk = sim.routed_kernel()
-    diag_i = rk.diagonal()
+    rk = sim.routed_kernel(block_rhs=fl)   # fl-column block plans: one
+    diag_i = rk.diagonal()                 # index stream for all columns
     if precond == "jacobi":
         safe = jnp.where(diag_i > 0, diag_i, 1.0)
         M_inv = lambda r: r / (safe if r.ndim == 2 else safe[..., None])

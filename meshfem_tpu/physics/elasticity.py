@@ -111,11 +111,20 @@ class ElasticitySimulator:
     def K_diagonal(self):
         return self._kernel.diagonal()
 
-    def routed_kernel(self):
+    def routed_kernel(self, block_rhs: int | None = None):
         """The in-register routed SpMV operator (f32, internally RCB /
         first-touch reordered; ``sparse.routed_ebe``).  Built lazily —
         the host routing compile is seconds-to-tens-of-seconds at 10^5+
-        elements and cached by connectivity."""
+        elements and cached by connectivity.
+
+        ``block_rhs``: ensure the operator carries d * block_rhs-plane
+        block plans so ``apply_block`` with that many columns routes the
+        whole block through one index stream (homogenization's fl cell
+        problems); triggers a rebuild when the cached operator lacks
+        them (cheap: the single-vector plans come from the plan cache)."""
+        if (self._routed is not None and block_rhs
+                and self._routed.bm != block_rhs):
+            self._routed = None
         if self._routed is None:
             from ..sparse.routed_ebe import RoutedEBE
             from ..fem.elasticity_tensor import lame_parameters
@@ -141,7 +150,8 @@ class ElasticitySimulator:
             self._routed = RoutedEBE.build(
                 None if factor is not None else self.Ke,
                 np.asarray(self.elem_dofs), self.num_dofs,
-                self.dim, coords=pos, factor=factor)
+                self.dim, coords=pos, factor=factor,
+                block_rhs=block_rhs)
         return self._routed
 
     def _routed_auto(self) -> bool:

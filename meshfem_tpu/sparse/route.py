@@ -110,11 +110,11 @@ def _route_vreg_planes(x_ref, win_ref, widx, lidx, base, chain, planes):
 
 def _u_unroll(planes):
     """Vregs unrolled per inner iteration: scale down with planes to keep
-    the live accumulator count (planes * U) near the legacy 8."""
-    u = max(1, U_UNROLL // planes)
+    the live accumulator count (planes * U) near 16."""
+    u = max(1, 16 // planes)
     while B_VREGS % u:
         u -= 1
-    return u
+    return min(u, U_UNROLL)
 
 
 def _copy_kernel_p(blk_ref, win_ref, pidx_ref, x_ref, o_ref, *,
@@ -123,13 +123,16 @@ def _copy_kernel_p(blk_ref, win_ref, pidx_ref, x_ref, o_ref, *,
 
     def body(t, carry):
         slab = pidx_ref[pl.ds(t * u_unroll, u_unroll)]  # [U,8,128] int32
+        outs = [[] for _ in range(planes)]
         for u in range(u_unroll):
             v = t * u_unroll + u
             accs = _route_vreg_planes(
                 x_ref, win_ref, slab[u] >> 7, slab[u] & 127,
                 (pid * B_VREGS + v) * chain, chain, planes)
             for p in range(planes):
-                o_ref[p, pl.ds(v, 1)] = accs[p][None]
+                outs[p].append(accs[p])
+        for p in range(planes):
+            o_ref[p, pl.ds(t * u_unroll, u_unroll)] = jnp.stack(outs[p])
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(B_VREGS // u_unroll), body,
@@ -407,6 +410,7 @@ class CopyPlan:
         return flat
 
     def _call1(self, src_flat, interpret):
+        src_flat = src_flat.reshape(-1)
         x2 = _pad_to_rows(src_flat, self.src_rows)
         outs = []
         for b in self.buckets:
@@ -481,6 +485,7 @@ class ReducePlan:
         return flat
 
     def _call1(self, src_flat, interpret):
+        src_flat = src_flat.reshape(-1)
         x2 = _pad_to_rows(src_flat, self.src_rows)
         outs = []
         for b in self.buckets:

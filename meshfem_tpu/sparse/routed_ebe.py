@@ -193,7 +193,7 @@ def _stage_gather_ids(dst, n_out, cap=8):
     return G
 
 
-def _scatter_ladder(ed, Eb, n, N, cap=8, group=8):
+def _scatter_ladder(ed, Eb, n, N, cap=4, group=8):
     """Multi-stage scatter ladder for the transpose reduce:
 
       slots (element-major ``[Ep, n]`` flat) -> level-1 per-block compact
@@ -207,7 +207,13 @@ def _scatter_ladder(ed, Eb, n, N, cap=8, group=8):
     so task ranks stay ~1 everywhere.
 
     Returns ``(dst0 [Ep * n], stages)`` with ``stages[0] = (None, n1)``
-    and ``stages[1:] = [(dst_map, n_out), ...]`` ending at ``N``."""
+    and ``stages[1:] = [(dst_map, n_out), ...]`` ending at ``N``.
+
+    ``cap`` trades slab occupancy against rung width: average level-1
+    fan-in is only ~2.6 at P2/3D (8.4M slots over 3.27M block-node
+    pairs), so cap=8 slabs run 32%-full — the rung-1 copy plan routes
+    3.1x the slot count, mostly zeros.  cap=4 halves the slab volume at
+    the cost of ~10% more (split) ids."""
     Ep = ed.shape[0]
     flat = ed.reshape(-1)
     slot_grp = np.repeat(np.arange(Ep, dtype=np.int64) // 128, n)
@@ -261,13 +267,17 @@ class RoutedEBE:
     lam: float = 0.0
     mu: float = 0.0
     deg: int = 2                     # element degree (factored tables)
+    bgather: CopyPlan | None = None  # d*m-plane plans for apply_block
+    bscatter: object | None = None
+    bscatter_rest: tuple = ()
+    bm: int = 0                      # RHS count the block plans serve
 
     @classmethod
     def build(cls, Ke, elem_dofs, num_dofs: int, vector_dim: int = 1,
               interpret: bool | None = None,
               two_level: bool | None = None,
               coords=None, scatter_mode: str | None = None,
-              factor=None) -> "RoutedEBE":
+              factor=None, block_rhs: int | None = None) -> "RoutedEBE":
         """Ke: [E, nd, nd] (node-major dof order: a = node * d + comp);
         elem_dofs: [E, n] node ids; num_dofs = number of NODES.
 
@@ -287,7 +297,13 @@ class RoutedEBE:
         the same either way.  Without coords the input numbering is used
         as-is (correct always; fast only if the mesh was pre-ordered,
         e.g. ``FEMMesh(..., node_order='firsttouch')`` over RCB-sorted
-        elements)."""
+        elements).
+
+        ``block_rhs``: also build d * block_rhs-plane plans so
+        :meth:`apply_block` with that many RHS columns routes ALL columns
+        AND components through ONE index stream (homogenization's fl cell
+        problems — the CHOLMOD factorize-once / m-back-substitutions
+        economy, reference ``SparseMatrices.hh:2077-2131``)."""
         elem_dofs = np.asarray(elem_dofs)
         E, n = elem_dofs.shape
         d = vector_dim
@@ -337,30 +353,52 @@ class RoutedEBE:
         else:
             order = rank = None
 
-        key = (hashlib.sha1(np.ascontiguousarray(elem_dofs)).hexdigest(),
-               N, d, two_level, scatter_mode)
-        cached = _PLAN_CACHE.get(key)
-        if cached is not None:
-            gather, scatter, scatter_rest = cached
-            fields = cls._element_fields(Ke, factor and (gl, volume, lam,
-                                                         mu, deg),
-                                         E, Eb, Ep, n, d, nd)
-            return cls(gather=gather, scatter=scatter,
-                       scatter_rest=scatter_rest, order=order, rank=rank,
-                       num_dofs=N, vector_dim=d, interpret=interpret,
-                       scatter_mode=scatter_mode, **fields)
+        ed_key = hashlib.sha1(np.ascontiguousarray(elem_dofs)).hexdigest()
 
+        def plan_set(planes):
+            """Build (or fetch) the gather/scatter plan set dispatching
+            ``planes`` value planes through the shared index stream
+            (planes = d for the single-vector apply, d * m for the m-RHS
+            block apply)."""
+            key = (ed_key, N, d, two_level, scatter_mode, "planes-v2",
+                   planes)
+            cached = _PLAN_CACHE.get(key)
+            if cached is None:
+                cached = cls._build_plan_set(elem_dofs, E, Eb, Ep, n, N,
+                                             planes, two_level)
+                if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                    _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                _PLAN_CACHE[key] = cached
+            return cached
+
+        gather, scatter, scatter_rest = plan_set(d)
+        if block_rhs:
+            bgather, bscatter, bscatter_rest = plan_set(d * block_rhs)
+        else:
+            bgather, bscatter, bscatter_rest = None, None, ()
+        fields = cls._element_fields(Ke, factor and (gl, volume, lam,
+                                                     mu, deg),
+                                     E, Eb, Ep, n, d, nd)
+        return cls(gather=gather, scatter=scatter,
+                   scatter_rest=scatter_rest, order=order, rank=rank,
+                   num_dofs=N, vector_dim=d, interpret=interpret,
+                   scatter_mode=scatter_mode, bgather=bgather,
+                   bscatter=bscatter, bscatter_rest=bscatter_rest,
+                   bm=int(block_rhs or 0), **fields)
+
+    @classmethod
+    def _build_plan_set(cls, elem_dofs, E, Eb, Ep, n, N, planes,
+                        two_level):
+        """Host-compile one (gather, scatter, scatter_rest) plan set."""
+        d = planes                  # routing planes (index-stream width)
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
         # [Eb, n, 128] node id of slot (b, a, l) = element 128 b + l, node a
         ed_bal = ed.reshape(Eb, 128, n).transpose(0, 2, 1)
-        coff = np.arange(d, dtype=np.int64)
 
-        # gather: slot (c, b, a, l) <- component plane value c * N + node
-        gsrc = np.where(ed_bal[None] >= 0,
-                        ed_bal[None] + (coff * N)[:, None, None, None],
-                        np.int64(-1)).reshape(-1)
-        gather = plan_copy(gsrc, d * N)
+        # gather: PLANE-LOCAL routing (slot <- node), dispatched in planes
+        # mode — the d component planes share one index stream
+        gather = plan_copy(ed_bal.reshape(-1), N, planes=d)
 
         if two_level:
             # Scatter ladder (see _scatter_ladder): slots -> overflow-split
@@ -376,46 +414,32 @@ class RoutedEBE:
             # DOF).  Only the LAST rung (group-compact ids -> global
             # nodes) has unbounded fan-in and stays a ReducePlan — on
             # ~1/20 the original slot count.
-            dst0_node, stages = _scatter_ladder(ed, Eb, n, N)
+            cap = 4
+            dst0_node, stages = _scatter_ladder(ed, Eb, n, N, cap=cap)
             S0p = Eb * n * 128
             # element-major slot s = e*n + a -> plane-local (b, a, l) pos
             e_idx = np.repeat(np.arange(Ep, dtype=np.int64), n)
             a_idx = np.tile(np.arange(n, dtype=np.int64), Ep)
             pos_plane = ((e_idx // 128) * n + a_idx) * 128 + (e_idx % 128)
             n1 = stages[0][1]
-            G0 = _stage_gather_ids(dst0_node, n1)          # [8, n1]
+            G0 = _stage_gather_ids(dst0_node, n1, cap)     # [cap, n1]
             src0 = np.where(G0 >= 0, pos_plane[np.maximum(G0, 0)],
                             np.int64(-1))
-            scatter = _sum_plan(src0, S0p, coff)
+            scatter = _sum_plan(src0, S0p, d, cap)
             rest = []
             n_prev = n1
             for dst_map, n_out in stages[1:-1]:
-                G = _stage_gather_ids(dst_map, n_out)      # [8, n_out]
-                rest.append(_sum_plan(G, n_prev, coff))
+                G = _stage_gather_ids(dst_map, n_out, cap)  # [cap, n_out]
+                rest.append(_sum_plan(G, n_prev, d, cap))
                 n_prev = n_out
             dst_map, n_out = stages[-1]
-            dd = np.where(dst_map[None, :] >= 0,
-                          dst_map[None, :] + (coff * n_out)[:, None],
-                          np.int64(-1)).reshape(-1)
-            rest.append(plan_reduce(dd, d * n_out, d * n_prev))
+            rest.append(plan_reduce(dst_map, n_out, n_prev, planes=d))
             scatter_rest = tuple(rest)
         else:
-            dst1 = np.where(ed_bal[None] >= 0,
-                            ed_bal[None] + (coff * N)[:, None, None, None],
-                            np.int64(-1)).reshape(-1)
-            scatter = plan_reduce(dst1, d * N, d * Eb * n * 128)
+            scatter = plan_reduce(ed_bal.reshape(-1), N, Eb * n * 128,
+                                  planes=d)
             scatter_rest = ()
-
-        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[key] = (gather, scatter, scatter_rest)
-        fields = cls._element_fields(Ke, factor and (gl, volume, lam, mu,
-                                                     deg),
-                                     E, Eb, Ep, n, d, nd)
-        return cls(gather=gather, scatter=scatter,
-                   scatter_rest=scatter_rest, order=order, rank=rank,
-                   num_dofs=N, vector_dim=d, interpret=interpret,
-                   scatter_mode=scatter_mode, **fields)
+        return gather, scatter, scatter_rest
 
     @classmethod
     def _element_fields(cls, Ke, factor, E, Eb, Ep, n, d, nd):
@@ -518,6 +542,7 @@ class RoutedEBE:
         return self.volB[None, :, None, :] * (f1 + f2 + f3)
 
     def _scatter(self, fl):
+        """fl [d, slots_plane] -> [d, N] (planes-mode rungs)."""
         y = self.scatter(fl, interpret=self.interpret)
         for p in self.scatter_rest:
             y = p(y, interpret=self.interpret)
@@ -527,11 +552,11 @@ class RoutedEBE:
         Eb, n = self._eb_n()
         d = self.vector_dim
         u = u.astype(jnp.float32)
-        src = u.reshape(self.num_dofs, d).T.reshape(-1)   # [d*N] planes
+        src = u.reshape(self.num_dofs, d).T               # [d, N] planes
         ue = self.gather(src, interpret=self.interpret) \
             .reshape(d, Eb, n, 128)
         fe = self._contract(ue)
-        y = self._scatter(fe.reshape(-1))                 # [d*N]
+        y = self._scatter(fe.reshape(d, -1))              # [d, N]
         if d == 1:
             return y.reshape(u.shape)
         return y.reshape(d, self.num_dofs).T.reshape(u.shape)
@@ -540,29 +565,64 @@ class RoutedEBE:
         """Multi-RHS apply: ``U [N, d, m] -> A @ U`` (also ``[N, m]`` when
         d == 1).  The routing PLAN is RHS-independent (reference:
         ``PeriodicHomogenization.hh:48-53`` amortizes one CHOLMOD
-        factorization over 6 back-substitutions), so the block apply runs
-        the column applies through the SAME plan inside one jitted
-        dispatch sequence.  The columns are an unrolled loop, not a vmap:
-        vmapping these pallas calls batches every routing intermediate
-        into [m, ...] HLO temps — measured 2.3x slower per RHS at m = 2
-        and RESOURCE_EXHAUSTED at m = 6 on a 1.17M-DOF problem — while
-        the unrolled form lets XLA schedule the m plans back-to-back with
-        per-column temps and matches the single-apply per-RHS cost."""
+        factorization over 6 back-substitutions).  The m columns run
+        through the SAME planes-mode plans column by column (one jitted
+        dispatch sequence; per-column routing already amortizes its index
+        stream across the d components), while the ELEMENT CONTRACTION —
+        the dense path's 900-f32-per-element HBM read — runs ONCE for all
+        m columns (``_contract_block``), so the per-RHS cost drops by the
+        full contraction share.  (A vmap over columns instead batches
+        every routing intermediate into [m, ...] HLO temps — measured
+        2.3x slower per RHS at m = 2 and RESOURCE_EXHAUSTED at m = 6 at
+        1.17M DOF.)"""
         Eb, n = self._eb_n()
         d = self.vector_dim
         m = U.shape[-1]
         U = U.astype(jnp.float32)
+        if self.bgather is not None and m == self.bm:
+            return self._apply_block_planes(U, Eb, n, d, m)
         src = jnp.transpose(U.reshape(self.num_dofs, d, m),
-                            (2, 1, 0)).reshape(m, -1)   # [m, d*N] planes
-        outs = []
-        for j in range(m):
-            ue = self.gather(src[j], interpret=self.interpret) \
-                .reshape(d, Eb, n, 128)
-            fe = self._contract(ue)
-            outs.append(self._scatter(fe.reshape(-1)))      # [d*N]
-        y = jnp.stack(outs)                                 # [m, d*N]
-        out = jnp.transpose(y.reshape(m, d, self.num_dofs), (2, 1, 0))
+                            (2, 1, 0))                    # [m, d, N]
+        ues = [self.gather(src[j], interpret=self.interpret)
+               .reshape(d, Eb, n, 128) for j in range(m)]
+        fes = self._contract_block(ues)
+        outs = [self._scatter(fe.reshape(d, -1)) for fe in fes]  # [d, N]
+        y = jnp.stack(outs).reshape(m, d, self.num_dofs)
+        out = jnp.transpose(y, (2, 1, 0))
         return out.reshape(U.shape)
+
+    def _apply_block_planes(self, U, Eb, n, d, m):
+        """All m columns AND d components through ONE routing pass
+        (plans built with ``block_rhs=m``): the per-value index traffic
+        — as large as one plane of routed data — amortizes d*m-fold."""
+        # plane p = c * m + j (component-major: contract reads directly)
+        src = jnp.transpose(U.reshape(self.num_dofs, d, m),
+                            (1, 2, 0)).reshape(d * m, self.num_dofs)
+        ue = self.bgather(src, interpret=self.interpret) \
+            .reshape(d, m, Eb, n, 128)
+        if self.KeB is not None:
+            uem = jnp.transpose(ue, (0, 2, 3, 4, 1))  # [d, Eb, n, 128, m]
+            fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem)
+            fe = jnp.transpose(fem, (0, 4, 1, 2, 3))  # [d, m, Eb, n, 128]
+        else:
+            fes = [self._contract(ue[:, j]) for j in range(m)]
+            fe = jnp.stack(fes, axis=1)               # [d, m, Eb, n, 128]
+        y = self.bscatter(fe.reshape(d * m, -1), interpret=self.interpret)
+        for p in self.bscatter_rest:
+            y = p(y, interpret=self.interpret)        # [d*m, N]
+        out = jnp.transpose(y.reshape(d, m, self.num_dofs), (2, 0, 1))
+        return out.reshape(U.shape)
+
+    def _contract_block(self, ues):
+        """Contract m gathered column tensors; the dense-KeB path stacks
+        them into ONE einsum so the [Eb, n, d, n, d, 128] stiffness reads
+        once for all m columns (the CHOLMOD multi-RHS back-substitution
+        economy, ``SparseMatrices.hh:2077-2131``)."""
+        if self.KeB is None:
+            return [self._contract(ue) for ue in ues]
+        uem = jnp.stack(ues, axis=-1)            # [d, Eb, n, 128, m]
+        fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem)
+        return [fem[..., j] for j in range(len(ues))]
 
     def diagonal(self):
         """Assembled operator diagonal (Jacobi), via the scatter plan."""
@@ -581,21 +641,24 @@ class RoutedEBE:
             dirn = (self.lam + self.mu) * jnp.einsum(
                 "kla,ekcL,elcL->eacL", Taa, g, g, precision=hp)
             de = self.volB[:, None, None, :] * (iso[:, :, None, :] + dirn)
-        y = self._scatter(jnp.transpose(de, (2, 0, 1, 3)).reshape(-1))
+        y = self._scatter(jnp.transpose(de, (2, 0, 1, 3)).reshape(d, -1))
         if d == 1:
             return y.reshape(self.num_dofs)
         return y.reshape(d, self.num_dofs).T
 
     def tree_flatten(self):
         return ((self.KeB, self.gather, self.scatter, self.scatter_rest,
-                 self.order, self.rank, self.GB, self.volB, self.Tgg),
+                 self.order, self.rank, self.GB, self.volB, self.Tgg,
+                 self.bgather, self.bscatter, self.bscatter_rest),
                 (self.num_dofs, self.vector_dim, self.interpret,
-                 self.scatter_mode, self.lam, self.mu, self.deg))
+                 self.scatter_mode, self.lam, self.mu, self.deg,
+                 self.bm))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         (KeB, gather, scatter, scatter_rest, order, rank, GB, volB,
-         Tgg) = ch
-        n_dofs, d, interp, smode, lam, mu, deg = aux
+         Tgg, bgather, bscatter, bscatter_rest) = ch
+        n_dofs, d, interp, smode, lam, mu, deg, bm = aux
         return cls(KeB, gather, scatter, scatter_rest, order, rank,
-                   n_dofs, d, interp, smode, GB, volB, Tgg, lam, mu, deg)
+                   n_dofs, d, interp, smode, GB, volB, Tgg, lam, mu, deg,
+                   bgather, bscatter, bscatter_rest, bm)

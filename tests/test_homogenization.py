@@ -177,3 +177,30 @@ def test_probe_consistency():
     stress = et.double_contract(sim.D, strain)
     avg_stress = np.asarray(jnp.einsum("e,ea->a", vol, stress))
     np.testing.assert_allclose(avg_stress, np.asarray(Ch)[0], atol=1e-9)
+
+
+def test_routed_block_cell_problems_match_jacobi():
+    """operator='routed' (block plans: all fl columns through one index
+    stream) reproduces the default path's homogenized tensor."""
+    from meshfem_tpu.analysis import homogenization as hom2
+
+    V, T = generators.grid_tet(3, 3, 3)
+    # soft inclusion so fluctuations are nonzero
+    mesh = FEMMesh(V, T, degree=1)
+    cent = np.asarray(mesh.V)[np.asarray(mesh.F)].mean(axis=1)
+    soft = ((cent - 0.5) ** 2).sum(axis=1) < 0.09
+    E = np.where(soft, 0.2, 2.0)
+    from meshfem_tpu.physics.materials import MaterialField
+
+    mat = MaterialField.isotropic_field(3, E, np.full(len(E), 0.3))
+    sim_a = hom2.periodic_simulator(mesh, mat)
+    w_a, _ = hom2.solve_cell_problems(sim_a, tol=1e-10, precond="jacobi",
+                                      operator="ebe")
+    Ch_a = hom2.homogenized_tensor_stress_form(sim_a, w_a)
+    sim_b = hom2.periodic_simulator(mesh, mat)
+    w_b, _ = hom2.solve_cell_problems(sim_b, tol=1e-10, precond="jacobi",
+                                      operator="routed")
+    assert sim_b._routed is not None and sim_b._routed.bm == 6
+    Ch_b = hom2.homogenized_tensor_stress_form(sim_b, w_b)
+    scale = float(np.abs(np.asarray(Ch_a)).max())
+    assert np.abs(np.asarray(Ch_b) - np.asarray(Ch_a)).max() < 2e-5 * scale

@@ -58,6 +58,79 @@ def test_plan_reduce_matches_numpy(rng):
     np.testing.assert_allclose(out, ref, atol=5e-5)
 
 
+@pytest.mark.parametrize("planes", [2, 3, 6])
+def test_plan_copy_planes_matches_single(rng, planes):
+    """Planes-mode copy == per-plane legacy copy (shared index stream)."""
+    n_src, n_out = 30000, 7000
+    base = np.repeat(rng.integers(0, n_src - 700, n_out // 100), 100)
+    sid = np.minimum(base + rng.integers(0, 700, n_out), n_src - 1)
+    sid[rng.integers(0, n_out, 40)] = rng.integers(0, n_src, 40)  # far
+    sid[rng.integers(0, n_out, 25)] = -1
+    src = rng.standard_normal((planes, n_src)).astype(np.float32)
+    plan = route.plan_copy(sid, n_src, planes=planes)
+    assert plan.planes == planes
+    out = np.asarray(plan(jnp.asarray(src), interpret=True))
+    assert out.shape == (planes, n_out)
+    for p in range(planes):
+        np.testing.assert_array_equal(out[p], _copy_ref(sid, src[p]))
+
+
+@pytest.mark.parametrize("planes", [3])
+def test_plan_reduce_planes_matches_numpy(rng, planes):
+    n_out, S = 5000, 40000
+    dst = rng.integers(0, n_out, S)
+    hot = rng.integers(0, n_out, 60)
+    dst[:3000] = hot[rng.integers(0, 60, 3000)]
+    dst[rng.integers(0, S, 30)] = -1
+    dst = dst[np.argsort(dst + rng.integers(0, 40, S))]
+    src = rng.standard_normal((planes, S)).astype(np.float32)
+    plan = route.plan_reduce(dst, n_out, S, blk_rows=256, planes=planes)
+    out = np.asarray(plan(jnp.asarray(src), interpret=True))
+    assert out.shape == (planes, n_out)
+    for p in range(planes):
+        ref = np.zeros(n_out)
+        np.add.at(ref, dst[dst >= 0], src[p][dst >= 0].astype(np.float64))
+        np.testing.assert_allclose(out[p], ref, atol=5e-5)
+
+
+def test_routed_ebe_block_planes_matches_columns(rng):
+    """apply_block with block plans (d*m planes, one index stream) ==
+    column-by-column applies, dense and factored backends."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.physics import ElasticitySimulator, Material
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+    from meshfem_tpu.fem import elasticity_tensor as et
+
+    V, T = generators.grid_tet(4, 4, 4)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 2.3, 0.31))
+    m = 3
+    rkb = RoutedEBE.build(jnp.asarray(sim.Ke, jnp.float32),
+                          np.asarray(sim.elem_dofs), sim.num_dofs, 3,
+                          coords=np.asarray(mesh.node_positions),
+                          block_rhs=m)
+    assert rkb.bm == m and rkb.bgather is not None
+    assert rkb.bgather.planes == 3 * m
+    U = jnp.asarray(rng.standard_normal((sim.num_dofs, 3, m)),
+                    jnp.float32)
+    Ui = rkb.permute_in(U)
+    yb = np.asarray(rkb.apply_block(Ui))
+    yc = np.stack([np.asarray(rkb(Ui[..., j])) for j in range(m)],
+                  axis=-1)
+    scale = np.abs(yc).max()
+    assert np.abs(yb - yc).max() < 1e-5 * scale
+
+    # factored backend through the same block plans
+    lam, mu = et.lame_parameters(sim.D)
+    rkf = RoutedEBE.build(None, np.asarray(sim.elem_dofs), sim.num_dofs,
+                          3, coords=np.asarray(mesh.node_positions),
+                          block_rhs=m,
+                          factor=(sim.geom.grad_lambda, sim.geom.volume,
+                                  lam, mu, 2))
+    ybf = np.asarray(rkf.apply_block(Ui))
+    assert np.abs(ybf - yc).max() < 5e-5 * scale
+
+
 def test_plan_reduce_deterministic(rng):
     n_out, S = 700, 6000
     dst = np.sort(rng.integers(0, n_out, S))
