@@ -176,6 +176,23 @@ class DomainDecomposition:
         return cls.build(sim.Ke, sim.elem_dofs, sim.num_dofs, sim.dim, pos,
                          n_shards)
 
+    def build_routed(self, interpret: bool = True):
+        """Per-shard ROUTED SpMV (``parallel/routed_dd.py``): the routed
+        in-register kernels inside each shard, with plan structures
+        FORCED identical across shards so shard_map sees one SPMD
+        program.  f32 (the routing kernels are f32); combines the
+        interior/boundary element sets (the all_to_all runs before the
+        apply instead of overlapping the interior contraction)."""
+        from .routed_dd import RoutedShardSpMV
+
+        Ke_all = np.concatenate(
+            [np.asarray(self.Ke_int), np.asarray(self.Ke_bnd)],
+            axis=1).astype(np.float32)
+        ld_all = np.concatenate(
+            [np.asarray(self.ld_int), np.asarray(self.ld_bnd)], axis=1)
+        return RoutedShardSpMV.build(Ke_all, ld_all, self.Nl, self.H,
+                                     self.d, interpret=interpret)
+
     # -- vector layout ----------------------------------------------------
     def to_sharded(self, u):
         """[Nd, d(, m)] old dof order -> [S, Nl, d(, m)] padded/permuted."""
@@ -306,20 +323,24 @@ class DDCoarse:
 
 @functools.lru_cache(maxsize=32)
 def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block,
-                 coarse_dims, L):
+                 coarse_dims, routed, L):
     """Jitted shard_map running L CG iterations on carried state.
     ``coarse_dims``: None or (n_agg, nm) to enable the replicated
-    aggregation-coarse correction (DDCoarse)."""
+    aggregation-coarse correction (DDCoarse).  ``routed``: the per-shard
+    operator is the ROUTED in-register SpMV (``parallel/routed_dd.py``,
+    f32) instead of gather->einsum->segment_sum."""
     bspec = P(axis, None, None, rhs_axis)
     gspec = P(rhs_axis)
 
     def local(Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free,
-              aggA, aggB, WA, WB, Cinv,
+              aggA, aggB, WA, WB, Cinv, rsp,
               x, r, z, p, gamma):
         Ke_i, ld_i, Ke_b, ld_b, send, take, Minv, safe, free, \
             aggA, aggB, WA, WB, x, r, z, p \
             = (q[0] for q in (Ke_i, ld_i, Ke_b, ld_b, send, take, Minv,
                               safe, free, aggA, aggB, WA, WB, x, r, z, p))
+        if routed:
+            rsp_l = jax.tree_util.tree_map(lambda l: l[0], rsp)
         mloc = x.shape[-1]
         Ei, Eb = Ke_i.shape[0], Ke_b.shape[0]
 
@@ -328,6 +349,17 @@ def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block,
             recv = jax.lax.all_to_all(out_send, axis, split_axis=0,
                                       concat_axis=0).reshape(S * K, d,
                                                              mloc)
+            if routed:
+                # per-shard routed apply on the halo-extended local
+                # vector (interior/boundary combined: the all_to_all
+                # completes before the contraction instead of
+                # overlapping it)
+                x_loc = jnp.concatenate([u, recv[take]])  # [Nl+H, d, m]
+                cols = [rsp_l.local(rsp_l.gather, rsp_l.rung1,
+                                    rsp_l.last_ids, rsp_l.KeB,
+                                    x_loc[..., j])[:Nl]
+                        for j in range(mloc)]
+                return jnp.stack(cols, axis=-1)
             # interior elements: independent of the collective above —
             # XLA overlaps this compute with the all_to_all in flight
             ue_i = u[ld_i].reshape(Ei, n * d, mloc)
@@ -393,10 +425,16 @@ def _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n, use_block,
             body, (x, r, z, p, gamma), None, length=L)
         return x[None], r[None], z[None], p[None], gamma, dot(r, r)
 
+    # check_vma=False: pallas_call (the routed per-shard kernels) cannot
+    # declare varying-across-mesh info; the program is hand-verified SPMD
+    kw = {}
+    if routed:
+        kw["check_vma"] = False
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis),) * 9 + (P(axis),) * 4 + (P(),)
+                   + (P(axis),)
                    + (bspec,) * 4 + (gspec,),
-                   out_specs=(bspec,) * 4 + (gspec, gspec))
+                   out_specs=(bspec,) * 4 + (gspec, gspec), **kw)
     return jax.jit(fn)
 
 
@@ -404,7 +442,8 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
                 iters: int = 50, axis: str = "e",
                 rhs_axis: str | None = None, tol: float | None = None,
                 precond: str = "jacobi", chunk: int | None = None,
-                coarse: "DDCoarse | None" = None):
+                coarse: "DDCoarse | None" = None,
+                routed_spmv=None):
     """Domain-decomposed PCG over ``mesh`` axis ``axis``.
 
     b [Nd, d] or [Nd, d, m] (original dof order); returns
@@ -421,7 +460,11 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
     host-side convergence/stagnation check between chunks (breakdown
     guards run per-iteration on device); when None, exactly ``iters``
     iterations run in one dispatch (bit-deterministic for the partition
-    invariance tests)."""
+    invariance tests).
+
+    ``routed_spmv``: a :class:`~meshfem_tpu.parallel.routed_dd.
+    RoutedShardSpMV` (from ``dd.build_routed()``) — the per-shard
+    operator becomes the routed in-register SpMV (f32)."""
     S, Nl, H, K, d = dd.n_shards, dd.Nl, dd.H, dd.K, dd.d
     n = dd.ld_int.shape[2]
     dt = dd.Ke_int.dtype
@@ -474,9 +517,15 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
                 jax.device_put(jnp.zeros((S, 1, d, 1), dt), eP),
                 jax.device_put(jnp.zeros((S, 1, d, 1), dt), eP),
                 jax.device_put(jnp.zeros((1, 1), dt), rP)]
+    if routed_spmv is not None:
+        rsp_ops = [jax.device_put(routed_spmv, eP)]
+    else:
+        # structural placeholder (scalar-leaf pytree is fine: the routed
+        # branch is off, the arg is never touched)
+        rsp_ops = [jax.device_put(jnp.zeros((S, 1), dt), eP)]
     ops = [jax.device_put(x, eP) for x in
            (dd.Ke_int, dd.ld_int, dd.Ke_bnd, dd.ld_bnd, dd.send_idx,
-            dd.halo_take, Minv, safe, fs)] + cops
+            dd.halo_take, Minv, safe, fs)] + cops + rsp_ops
     bs = jax.device_put(bs, bP)
 
     # initial state (global sharded ops — GSPMD handles the reduction);
@@ -519,7 +568,8 @@ def dd_cg_solve(mesh: Mesh, dd: DomainDecomposition, b, free_mask=None,
     stall = 0
     for L in steps:
         fn = _dd_chunk_fn(mesh, axis, rhs_axis, S, Nl, H, K, d, n,
-                          use_block, coarse_dims, L)
+                          use_block, coarse_dims,
+                          routed_spmv is not None, L)
         *state, g, r2 = fn(*ops, *state)
         state = tuple(state) + (g,)
         res2 = np.asarray(r2)

@@ -117,16 +117,36 @@ def _u_unroll(planes):
     return min(u, U_UNROLL)
 
 
+def _route_vreg_tiles(x_ref, win_ref, widx, lidx, base, chain, planes):
+    """Tile-chain routing: each chain step reads an 8-ROW tile (win holds
+    block-relative TILE indices) and one dynamic_gather pulls row
+    (tile*8 + i) at sublane i — 8 source rows per step instead of one
+    broadcast row.  Output cell (i, j) must source from a row ≡ i (mod 8);
+    the slab packer places contributions accordingly.  This is what makes
+    the scatter-ladder rungs cheap: a rung's sources live in a handful of
+    consecutive rows, so chains collapse to 1-3 tiles."""
+    accs = [jnp.zeros((8, 128), jnp.float32) for _ in range(planes)]
+    for k in range(chain):
+        w = win_ref[base + k]
+        mask = widx == k
+        for p in range(planes):
+            tile = x_ref[p, pl.ds(w * 8, 8), :]          # [8, 128]
+            g = _lane_gather(tile, lidx)
+            accs[p] = accs[p] + jnp.where(mask, g, 0.0)
+    return accs
+
+
 def _copy_kernel_p(blk_ref, win_ref, pidx_ref, x_ref, o_ref, *,
-                   chain, planes, u_unroll):
+                   chain, planes, u_unroll, tiles=False):
     pid = pl.program_id(0)
+    route = _route_vreg_tiles if tiles else _route_vreg_planes
 
     def body(t, carry):
         slab = pidx_ref[pl.ds(t * u_unroll, u_unroll)]  # [U,8,128] int32
         outs = [[] for _ in range(planes)]
         for u in range(u_unroll):
             v = t * u_unroll + u
-            accs = _route_vreg_planes(
+            accs = route(
                 x_ref, win_ref, slab[u] >> 7, slab[u] & 127,
                 (pid * B_VREGS + v) * chain, chain, planes)
             for p in range(planes):
@@ -230,11 +250,12 @@ def _copy_call(chain, n_vregs, blk_rows, src_rows, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _copy_call_p(chain, n_vregs, blk_rows, src_rows, planes, interpret):
+def _copy_call_p(chain, n_vregs, blk_rows, src_rows, planes, interpret,
+                 tiles=False):
     u = _u_unroll(planes)
     return pl.pallas_call(
         functools.partial(_copy_kernel_p, chain=chain, planes=planes,
-                          u_unroll=u),
+                          u_unroll=u, tiles=tiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,                     # blk, win
             grid=(n_vregs // B_VREGS,),
@@ -376,24 +397,27 @@ class CopyPlan:
     src_rows: int
     blk_rows: int
     planes: int = 1
+    tiles: bool = False         # tile-chain cells (see _route_vreg_tiles)
 
     def tree_flatten(self):
         return ((self.buckets, self.restore, self.fix_pos, self.fix_src),
-                (self.n_out, self.src_rows, self.blk_rows, self.planes))
+                (self.n_out, self.src_rows, self.blk_rows, self.planes,
+                 self.tiles))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         return cls(ch[0], ch[1], ch[2], ch[3], *aux)
 
     def __call__(self, src, *, interpret=False):
-        if self.planes == 1:
+        if self.planes == 1 and not self.tiles:
             return self._call1(src, interpret)
         src2 = src.reshape(self.planes, -1)
         x2 = _pad_to_rows_p(src2, self.planes, self.src_rows)
         outs = []
         for b in self.buckets:
             call = _copy_call_p(b.chain, b.pidx.shape[0], self.blk_rows,
-                                self.src_rows, self.planes, interpret)
+                                self.src_rows, self.planes, interpret,
+                                self.tiles)
             outs.append(call(b.blk, b.win, b.pidx, x2))
         if not outs:
             out = jnp.zeros((self.planes, 1, 8, 128), src2.dtype)
@@ -406,7 +430,7 @@ class CopyPlan:
             flat = flat.at[:, self.fix_pos].set(
                 jnp.where(self.fix_src[None, :] >= 0,
                           src2[:, jnp.maximum(self.fix_src, 0)], 0.0)
-                .astype(flat.dtype))
+                .astype(flat.dtype), mode="drop")
         return flat
 
     def _call1(self, src_flat, interpret):
@@ -427,7 +451,7 @@ class CopyPlan:
             flat = flat.at[self.fix_pos].set(
                 jnp.where(self.fix_src >= 0,
                           src_flat[jnp.maximum(self.fix_src, 0)], 0.0)
-                .astype(flat.dtype))
+                .astype(flat.dtype), mode="drop")
         return flat
 
 
@@ -631,12 +655,17 @@ def _default_blk_rows(blk_rows, planes):
 
 
 def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
-              planes: int = 1) -> CopyPlan:
+              planes: int = 1, force_structure=None) -> CopyPlan:
     """Compile a routed gather (out[i] = src[src_ids[i]]; -1 -> 0.0).
 
     ``planes``: bake the plan for planes-mode dispatch — ``src_ids`` are
     PLANE-LOCAL (in [0, n_src)); at call time ``planes`` stacked value
-    planes of length ``n_src`` route through the shared index stream."""
+    planes of length ``n_src`` route through the shared index stream.
+
+    ``force_structure``: ``({chain: n_steps}, n_fix)`` from
+    :func:`copy_plan_structure` — emit a plan with EXACTLY that bucket
+    layout and fix-up length (padded with route-0 work) so plans built
+    for different shards stack into one SPMD program (shard_map)."""
     blk_rows = _default_blk_rows(blk_rows, planes)
     src_ids = np.ascontiguousarray(np.asarray(src_ids, np.int64).reshape(-1))
     n_out = len(src_ids)
@@ -645,15 +674,113 @@ def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
     padded[:n_out] = src_ids
     src_rows, blk_rows = _round_rows(n_src, blk_rows)
     sid = padded.reshape(NV, 8, 128)
+    force = force_structure[0] if force_structure else None
+    buckets, pos_of, sp_pos, sp_src = _copy_bucket_pipeline(
+        sid, blk_rows, force)
+    keep = sp_pos < n_out
+    sp_pos, sp_src = sp_pos[keep], sp_src[keep]
+    if force_structure is not None:
+        n_fix = force_structure[1]
+        assert len(sp_pos) <= n_fix, "forced fix-up list too small"
+        pad = n_fix - len(sp_pos)
+        # pad fix-ups with out-of-bounds positions: dropped by the
+        # mode='drop' scatter in CopyPlan.__call__
+        sp_pos = np.concatenate([sp_pos, np.full(pad, n_out, np.int64)])
+        sp_src = np.concatenate([sp_src, np.full(pad, -1, np.int64)])
+    return pack_to_device(CopyPlan(
+        tuple(buckets), np.asarray(pos_of, np.int32),
+        np.asarray(sp_pos, np.int32),
+        np.asarray(sp_src, np.int32),
+        n_out, src_rows, blk_rows, planes))
+
+
+def copy_plan_structure(plans) -> tuple:
+    """Union structure of several CopyPlans: ``({chain: n_steps}, n_fix)``
+    with per-chain step counts and fix-up length maxed across plans —
+    feed back into :func:`plan_copy` (force_structure=...) to rebuild
+    each plan with identical shapes."""
+    chains: dict = {}
+    n_fix = 0
+    for p in plans:
+        per = {}
+        for b in p.buckets:
+            per[b.chain] = per.get(b.chain, 0) + int(
+                np.asarray(b.blk).shape[0])
+        for c, s in per.items():
+            chains[c] = max(chains.get(c, 0), s)
+        n_fix = max(n_fix, int(np.asarray(p.fix_pos).shape[0]))
+    return chains, n_fix
+
+
+def plan_copy_cells(sid, n_src: int, planes: int = 1,
+                    blk_rows: int | None = None) -> CopyPlan:
+    """Compile a TILE-CHAIN routed copy from an explicit cell map
+    ``sid [NV, 8, 128]`` (plane-local source position per output cell,
+    -1 = 0.0), requiring cell (v, i, j) to source from a row ≡ i (mod 8)
+    — each chain step then reads an 8-row tile and one dynamic_gather
+    serves 8 source rows (see :func:`_route_vreg_tiles`)."""
+    blk_rows = _default_blk_rows(blk_rows, planes)
+    blk_rows = max(8, blk_rows // 8 * 8)
+    sid = np.ascontiguousarray(np.asarray(sid, np.int64))
+    NV = sid.shape[0]
+    assert sid.shape == (NV, 8, 128)
+    live = sid >= 0
+    rows = np.where(live, sid >> 7, 0)
+    sub = np.broadcast_to(np.arange(8)[None, :, None], sid.shape)
+    assert np.all((rows % 8 == sub) | ~live), \
+        "plan_copy_cells: cell sublane must equal source row % 8"
+    src_rows, blk_rows = _round_rows(n_src, blk_rows)
+    if src_rows % 8:
+        src_rows = -(-src_rows // 8) * 8
+    # tile-granular ids: "row" = tile index, lane unchanged
+    sid_t = np.where(live, ((sid >> 10) << 7) | (sid & 127), np.int64(-1))
+    buckets, pos_of, sp_pos, _ = _copy_bucket_pipeline(
+        sid_t, blk_rows // 8)
+    n_out = NV * 1024
+    # spill fix-up needs ORIGINAL positions (the pipeline saw tile ids)
+    sp_src = sid.reshape(-1)[sp_pos]
+    return pack_to_device(CopyPlan(
+        tuple(buckets), np.asarray(pos_of, np.int32),
+        np.asarray(sp_pos, np.int32), np.asarray(sp_src, np.int32),
+        n_out, src_rows, blk_rows, planes, True))
+
+
+def _pad_bucket_steps(b, n_steps):
+    """Pad a (numpy) _CopyBucket with dummy route-0 steps/vregs so every
+    shard's bucket of a given chain class has IDENTICAL shapes (SPMD
+    requirement for shard_map-stacked plans)."""
+    cur = b.blk.shape[0]
+    if cur == n_steps:
+        return b
+    extra = n_steps - cur
+    blk = np.concatenate([b.blk, np.zeros(extra, np.int64)])
+    win = np.concatenate(
+        [b.win, np.zeros(extra * B_VREGS * b.chain, np.int64)])
+    pad_pidx = np.full((extra * B_VREGS, 8, 128),
+                       np.int64(PAD_WIDX) << 7, np.int64)
+    pidx = np.concatenate([b.pidx, pad_pidx])
+    return _CopyBucket(b.chain, blk, win, pidx)
+
+
+def _copy_bucket_pipeline(sid, blk_units, force=None):
+    """Bucket/step emission shared by :func:`plan_copy` (row-granular
+    windows) and :func:`plan_copy_cells` (tile-granular windows): sid
+    values encode (window_unit << 7 | lane).
+
+    ``force``: ``{chain: n_steps}`` — emit EXACTLY one bucket per listed
+    chain, padded to n_steps grid steps, lifting each vreg to the
+    smallest forced chain that covers its provisional chain (uniform
+    structure across shard_map shards)."""
+    NV = sid.shape[0]
     win_of = np.where(sid >= 0, sid >> 7, np.iinfo(np.int64).max)
     vmin = win_of.reshape(NV, -1).min(axis=1)
     vmin = np.where(vmin == np.iinfo(np.int64).max, 0, vmin)
-    vblk = vmin // blk_rows
+    vblk = vmin // blk_units
     # provisional chains (own block) for bucketing — one global
     # sort-unique over (vreg, window) pairs instead of a per-vreg loop
     wf = win_of.reshape(NV, 1024)
-    lo = (vblk * blk_rows)[:, None]
-    inb = (sid.reshape(NV, 1024) >= 0) & (wf >= lo) & (wf < lo + blk_rows)
+    lo = (vblk * blk_units)[:, None]
+    inb = (sid.reshape(NV, 1024) >= 0) & (wf >= lo) & (wf < lo + blk_units)
     vv = np.broadcast_to(np.arange(NV, dtype=np.int64)[:, None],
                          (NV, 1024))
     BIGW = np.int64(1) << 40
@@ -661,6 +788,14 @@ def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
     prov = np.maximum(
         np.bincount((uniq_vw // BIGW).astype(np.int64), minlength=NV), 1)
     bucket_of = np.array([_chain_bucket(c) for c in prov])
+    if force is not None:
+        fchains = sorted(force)
+        fidx = {c: BUCKETS.index(c) for c in fchains}
+        lift = {}
+        for bi, ch in enumerate(BUCKETS):
+            cands = [c for c in fchains if c >= ch]
+            lift[bi] = fidx[cands[0] if cands else fchains[-1]]
+        bucket_of = np.array([lift[b] for b in bucket_of])
     order = np.lexsort((np.arange(NV), vblk, bucket_of))
     # steps: consecutive groups of B_VREGS within a bucket share a block
     buckets = []
@@ -669,6 +804,28 @@ def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
     base = 0
     for bi, ch in enumerate(BUCKETS):
         sel_all = order[bucket_of[order] == bi]
+        if force is not None:
+            if ch not in force:
+                assert len(sel_all) == 0
+                continue
+            n_steps = force[ch]
+            assert n_steps * B_VREGS * ch * 4 <= _SMEM_BUDGET, \
+                "forced bucket exceeds the SMEM win budget"
+            n_bk = len(buckets)
+            base = _emit_copy_bucket(sel_all, sid, vblk, ch, blk_units,
+                                     buckets, pos_of, all_sp_pos,
+                                     all_sp_src, base)
+            if len(buckets) == n_bk:     # empty class: emit all-pad bucket
+                buckets.append(_CopyBucket(
+                    ch, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros((0, 8, 128), np.int64)))
+            assert len(buckets) == n_bk + 1, \
+                "forced bucket split by SMEM chunking"
+            cur_steps = buckets[-1].blk.shape[0]
+            assert cur_steps <= n_steps, "forced n_steps too small"
+            buckets[-1] = _pad_bucket_steps(buckets[-1], n_steps)
+            base += (n_steps - cur_steps) * B_VREGS
+            continue
         if len(sel_all) == 0:
             continue
         # scalar-prefetch operands (win) live in SMEM (~1 MB): cap each
@@ -678,18 +835,14 @@ def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,
         chunks = [sel_all[i: i + max_vregs]
                   for i in range(0, len(sel_all), max_vregs)]
         for sel in chunks:
-            base = _emit_copy_bucket(sel, sid, vblk, ch, blk_rows, buckets,
-                                     pos_of, all_sp_pos, all_sp_src, base)
+            base = _emit_copy_bucket(sel, sid, vblk, ch, blk_units,
+                                     buckets, pos_of, all_sp_pos,
+                                     all_sp_src, base)
     sp_pos = (np.concatenate(all_sp_pos) if all_sp_pos
               else np.zeros(0, np.int64))
     sp_src = (np.concatenate(all_sp_src) if all_sp_src
               else np.zeros(0, np.int64))
-    keep = sp_pos < n_out
-    return pack_to_device(CopyPlan(
-        tuple(buckets), np.asarray(pos_of, np.int32),
-        np.asarray(sp_pos[keep], np.int32),
-        np.asarray(sp_src[keep], np.int32),
-        n_out, src_rows, blk_rows, planes))
+    return buckets, pos_of, sp_pos, sp_src
 
 
 def _emit_copy_bucket(sel, sid, vblk, ch, blk_rows, buckets, pos_of,

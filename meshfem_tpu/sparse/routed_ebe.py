@@ -5,39 +5,39 @@ the in-register lane-routing kernels of :mod:`meshfem_tpu.sparse.route`
 instead of XLA's row gathers, and the element contraction laid out
 lane-major so no operand is ever relaid out on the hot path:
 
-  * ALL vector components route in ONE plan per stage: source ids carry a
-    per-component plane offset (``c * N + node``), and slots are laid out
-    COMPONENT-OUTERMOST ``[d, Eb, n, 128]`` (Eb = ceil(E/128) element
-    blocks, lane = element within block) so the fused plan is d contiguous
-    copies of the per-component routing problem — same chain depths, one
-    pallas dispatch sequence per stage.  (A node-major-interleaved slot
-    order mixes the d source planes inside each vreg and triples gather
-    chains — measured 322k vs 182k chain-steps at 257k tets.  The
-    per-component variant costs ~3x the dispatches plus stack/transpose
-    glue between stages: stage sums 5.2 ms vs 9.8 ms full apply.)  The
-    contraction einsum absorbs the component-major row order via a
-    permuted ``Ke`` layout ``[Eb, n, d, n, d, 128]``;
+  * ALL vector components (and, with ``block_rhs``, all m RHS columns)
+    route through ONE index stream in PLANES MODE
+    (``route._route_vreg_planes``): the routing problem is built on
+    plane-local ids and each chain step routes every stacked value
+    plane, so the index decode and pidx traffic amortize d- (or
+    d*m-) fold.  Slots are laid out COMPONENT-OUTERMOST
+    ``[d, Eb, n, 128]`` (Eb = ceil(E/128) element blocks, lane = element
+    within block); the contraction einsum absorbs the layout via a
+    permuted ``Ke`` ``[Eb, n, d, n, d, 128]``.  Measured at 1.17M DOF
+    (v5e): chain-steps 663k -> 204k, apply 5.97 -> 5.3 ms — the routing
+    is data-op bound, so the index amortization mostly removes glue;
   * the per-element stiffness contraction is a pure VPU multiply-reduce
-    over ``Ke`` stored ``[Eb, nd, nd, 128]`` — the element index rides
-    the 128 vector lanes and every array is lane-aligned;
+    over ``Ke`` stored lane-major — at P2/3D it streams KeB at ~926 GB/s
+    (HBM peak, 1.08 ms at bench scale) and is also ARITHMETIC-minimal
+    (1.8 KFLOP/element vs the factored form's ~8-40 KFLOP), so dense
+    KeB is the default; the factored isotropic backend (69x less
+    element data) exists for memory-limited problem sizes;
   * the transpose scatter runs as a routed LADDER (``two_level``):
     slots -> per-block compact ids -> per-8-block-group compact ids ->
     global nodes, with OVERFLOW SPLITTING at each rung (every compact id
-    receives at most 8 contributions; the surplus spills into extra
-    densely-packed ids merged by the next rung).  Locality: a rung's
-    output window pulls only from its own block's / group's windows, so
-    chains stay small.  Because fan-in is capped at 8 BY CONSTRUCTION,
-    every rung except the last runs as a SLAB-SUM COPY plan
-    (:class:`SumPlan`): one vreg routes an output window's 8
-    contributions onto the sublanes and XLA folds them — the copy
-    kernel's streaming stores instead of the reduce kernel's
-    dynamic-row read-modify-writes, which serialize its unrolled
-    routes (2.93 ms -> ~copy-rate for the same 311k chain-steps,
-    measured v5e 1.17M DOF).  Only the final rung (group-compact ->
-    global nodes, unbounded fan-in) uses the reduce kernel, on ~1/20
-    of the slot count.  A one-stage reduce instead routes every
-    incident element block into each node window and saturates the
-    chain ladder (measured chain 48 everywhere).
+    receives at most ``cap`` = 4 contributions; average level-1 fan-in
+    is ~2.6, so cap-8 slabs ran 32% full and routed 3.1x the slot count
+    in zeros).  Locality: a rung's output window pulls only from its own
+    block's / group's windows, so chains stay small.  Fan-in-capped
+    rungs run as SLAB-SUM COPY plans (:class:`SumPlan`): contributions
+    ride the sublanes and XLA folds them — streaming stores instead of
+    the reduce kernel's serializing dynamic-row read-modify-writes
+    (measured 2.93 ms vs ~copy rate).  Only the final rung (unbounded
+    fan-in) uses the reduce kernel, on ~1/4 of the slot count.
+    (A TILE-CHAIN variant — 8-row tile gathers with sublane = row%8
+    packing, ``MESHFEM_TILE_RUNGS=1`` — collapses rung chains to 1-3
+    but conflict-stacking inflates routed volume ~6x: measured 17.6 ms
+    apply vs 5.3; kept for structure experiments only.)
 
 Requires a locality-preserving node numbering
 (``FEMMesh(..., node_order="firsttouch")`` over spatially sorted elements,
@@ -59,7 +59,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .route import plan_copy, plan_reduce, CopyPlan, ReducePlan
+from .route import (plan_copy, plan_copy_cells, plan_reduce, CopyPlan,
+                    ReducePlan)
 
 # plans depend only on connectivity (elem_dofs, N, d, two_level) — cache
 # them so re-assembly with new material values (material optimization,
@@ -109,7 +110,7 @@ class SumPlan:
         return cls(ch[0], *aux)
 
 
-def _sum_plan(G_src, plane_len, d, cap=8):
+def _sum_plan(G_src, plane_len, d, cap=8, blk_rows=None):
     """Build a :class:`SumPlan` from gather planes ``G_src [cap, n_ids]``
     (source position of each id's k-th contribution in a per-component
     plane of ``plane_len``, -1 when absent; n_ids a multiple of 128).
@@ -118,7 +119,89 @@ def _sum_plan(G_src, plane_len, d, cap=8):
     NW = n_ids // 128
     assert NW * 128 == n_ids
     slab = np.transpose(G_src.reshape(cap, NW, 128), (1, 0, 2))
-    return SumPlan(plan_copy(slab.reshape(-1), plane_len, planes=d), cap)
+    return SumPlan(plan_copy(slab.reshape(-1), plane_len, planes=d,
+                             blk_rows=blk_rows), cap)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SumPlanTiles:
+    """A reduce rung as TILE-CHAIN copy + sublane fold + slab segment-sum.
+
+    Contributions are packed into slab vregs at cell
+    (sublane = source row % 8, lane = id % 128); one
+    :func:`~meshfem_tpu.sparse.route._route_vreg_tiles` chain step serves
+    8 source rows, so rung chains collapse to the source's TILE span (1-3
+    for the block-local scatter rungs) instead of its row span (8-12).
+    Slab count adapts per window (a window with conflict-free cells needs
+    ONE slab vreg); the ragged per-window slabs fold through a
+    deterministic segment-sum over ``win_of`` (fixed order)."""
+
+    plan: CopyPlan
+    win_of: jnp.ndarray        # [NV] int32 output window of each slab vreg
+    n_win: int
+    n_out: int
+
+    @property
+    def buckets(self):
+        return self.plan.buckets
+
+    def __call__(self, src, *, interpret=False):
+        """src [planes, plane_len] -> [planes, n_out]."""
+        d = self.plan.planes
+        y = self.plan(src, interpret=interpret)
+        y = y.reshape(d, -1, 8, 128).sum(axis=2)        # [d, NV, 128]
+        folded = jax.vmap(
+            lambda yp: jax.ops.segment_sum(yp, self.win_of,
+                                           num_segments=self.n_win))(y)
+        return folded.reshape(d, -1)[:, : self.n_out]
+
+    def tree_flatten(self):
+        return (self.plan, self.win_of), (self.n_win, self.n_out)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], ch[1], *aux)
+
+
+def _tile_slab_plan(dst_ids, src_pos, n_ids, plane_len, d,
+                    blk_rows=None):
+    """Pack contributions ``dst_ids[i] <- src_pos[i]`` (plane-local, both
+    >= 0) into tile-slab vregs and compile the tile-chain copy.
+
+    Cell assignment: (window = dst // 128, lane = dst % 128,
+    sublane = (src >> 7) % 8); conflicting contributions (same window,
+    lane, sublane) stack into additional slab vregs of that window."""
+    dst_ids = np.asarray(dst_ids, np.int64)
+    src_pos = np.asarray(src_pos, np.int64)
+    lane = dst_ids & 127
+    win = dst_ids >> 7
+    sub = (src_pos >> 7) & 7
+    n_win = int(-(-n_ids // 128))
+    # occurrence rank within (window, lane, sublane) = slab level
+    key = (win * 128 + lane) * 8 + sub
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(first)[0]
+    glen = np.diff(np.concatenate([starts, [len(ks)]]))
+    occ = np.arange(len(ks)) - np.repeat(starts, glen)
+    # slabs per window = max occ + 1 over the window's cells
+    win_o = win[order]
+    n_slab_w = np.zeros(n_win, np.int64)
+    np.maximum.at(n_slab_w, win_o, occ + 1)
+    slab_base = np.concatenate([[0], np.cumsum(n_slab_w)])
+    NV = max(int(slab_base[-1]), 1)
+    sid = np.full((NV, 8, 128), -1, np.int64)
+    vreg = slab_base[win_o] + occ
+    sid[vreg, sub[order], lane[order]] = src_pos[order]
+    win_of = np.repeat(np.arange(n_win, dtype=np.int64), n_slab_w)
+    if len(win_of) == 0:
+        win_of = np.zeros(1, np.int64)
+    plan = plan_copy_cells(sid, plane_len, planes=d, blk_rows=blk_rows)
+    return SumPlanTiles(plan, jnp.asarray(win_of, jnp.int32), n_win,
+                        int(n_ids))
 
 
 def _split_compact(grp, node, cap, pad=128):
@@ -360,8 +443,13 @@ class RoutedEBE:
             ``planes`` value planes through the shared index stream
             (planes = d for the single-vector apply, d * m for the m-RHS
             block apply)."""
+            import os
+
+            knobs = (os.environ.get("MESHFEM_SCAT_CAP", "4"),
+                     os.environ.get("MESHFEM_TILE_RUNGS", "0"),
+                     os.environ.get("MESHFEM_SCAT_BLK", ""))
             key = (ed_key, N, d, two_level, scatter_mode, "planes-v2",
-                   planes)
+                   planes, knobs)
             cached = _PLAN_CACHE.get(key)
             if cached is None:
                 cached = cls._build_plan_set(elem_dofs, E, Eb, Ep, n, N,
@@ -414,7 +502,16 @@ class RoutedEBE:
             # DOF).  Only the LAST rung (group-compact ids -> global
             # nodes) has unbounded fan-in and stays a ReducePlan — on
             # ~1/20 the original slot count.
-            cap = 4
+            import os
+
+            cap = int(os.environ.get("MESHFEM_SCAT_CAP", "4"))
+            tiles = os.environ.get("MESHFEM_TILE_RUNGS", "0") == "1"
+            # scatter rungs read BLOCK-LOCAL sources (an element block's
+            # n slot rows / a group's compact-id windows), so their VMEM
+            # source blocks should be small — a big block is re-fetched
+            # every grid step for ~10 useful rows
+            sblk = os.environ.get("MESHFEM_SCAT_BLK")
+            sblk = int(sblk) if sblk else None
             dst0_node, stages = _scatter_ladder(ed, Eb, n, N, cap=cap)
             S0p = Eb * n * 128
             # element-major slot s = e*n + a -> plane-local (b, a, l) pos
@@ -422,18 +519,31 @@ class RoutedEBE:
             a_idx = np.tile(np.arange(n, dtype=np.int64), Ep)
             pos_plane = ((e_idx // 128) * n + a_idx) * 128 + (e_idx % 128)
             n1 = stages[0][1]
-            G0 = _stage_gather_ids(dst0_node, n1, cap)     # [cap, n1]
-            src0 = np.where(G0 >= 0, pos_plane[np.maximum(G0, 0)],
-                            np.int64(-1))
-            scatter = _sum_plan(src0, S0p, d, cap)
+            live0 = np.nonzero(dst0_node >= 0)[0]
+            if tiles:
+                scatter = _tile_slab_plan(dst0_node[live0],
+                                          pos_plane[live0], n1, S0p, d,
+                                          blk_rows=sblk)
+            else:
+                G0 = _stage_gather_ids(dst0_node, n1, cap)  # [cap, n1]
+                src0 = np.where(G0 >= 0, pos_plane[np.maximum(G0, 0)],
+                                np.int64(-1))
+                scatter = _sum_plan(src0, S0p, d, cap, blk_rows=sblk)
             rest = []
             n_prev = n1
             for dst_map, n_out in stages[1:-1]:
-                G = _stage_gather_ids(dst_map, n_out, cap)  # [cap, n_out]
-                rest.append(_sum_plan(G, n_prev, d, cap))
+                if tiles:
+                    liv = np.nonzero(dst_map >= 0)[0]
+                    rest.append(_tile_slab_plan(dst_map[liv], liv, n_out,
+                                                n_prev, d, blk_rows=sblk))
+                else:
+                    G = _stage_gather_ids(dst_map, n_out, cap)
+                    rest.append(_sum_plan(G, n_prev, d, cap,
+                                          blk_rows=sblk))
                 n_prev = n_out
             dst_map, n_out = stages[-1]
-            rest.append(plan_reduce(dst_map, n_out, n_prev, planes=d))
+            rest.append(plan_reduce(dst_map, n_out, n_prev, planes=d,
+                                    blk_rows=sblk))
             scatter_rest = tuple(rest)
         else:
             scatter = plan_reduce(ed_bal.reshape(-1), N, Eb * n * 128,

@@ -93,6 +93,32 @@ def test_plan_reduce_planes_matches_numpy(rng, planes):
         np.testing.assert_allclose(out[p], ref, atol=5e-5)
 
 
+@pytest.mark.parametrize("tiles", ["0", "1"])
+def test_routed_ebe_scatter_variants_match(rng, tiles, monkeypatch):
+    """Slab rungs (default) and tile-chain rungs (MESHFEM_TILE_RUNGS=1)
+    produce identical applies."""
+    monkeypatch.setenv("MESHFEM_TILE_RUNGS", tiles)
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.physics import ElasticitySimulator, Material
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE, _PLAN_CACHE
+
+    _PLAN_CACHE.clear()
+    V, T = generators.grid_tet(4, 4, 4)
+    mesh = FEMMesh(V, T, degree=2)
+    sim = ElasticitySimulator(mesh, Material.isotropic(3, 2.3, 0.31))
+    rk = RoutedEBE.build(jnp.asarray(sim.Ke, jnp.float32),
+                         np.asarray(sim.elem_dofs), sim.num_dofs, 3,
+                         coords=np.asarray(mesh.node_positions),
+                         two_level=True)
+    u = rng.standard_normal((sim.num_dofs, 3)).astype(np.float32)
+    y = rk.permute_out(rk(rk.permute_in(jnp.asarray(u))))
+    y64 = sim.apply_K(jnp.asarray(u, jnp.float64))
+    err = float(jnp.abs(y - jnp.asarray(y64, jnp.float32)).max()
+                / jnp.abs(y64).max())
+    assert err < 5e-5
+    _PLAN_CACHE.clear()
+
+
 def test_routed_ebe_block_planes_matches_columns(rng):
     """apply_block with block plans (d*m planes, one index stream) ==
     column-by-column applies, dense and factored backends."""
