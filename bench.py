@@ -155,6 +155,9 @@ def _section(extra, err_key, fn, retries=3):
             transient = any(t in rep for t in (
                 "remote_compile", "UNAVAILABLE", "INTERNAL", "DEADLINE",
                 "Socket closed", "Connection reset"))
+            # deterministic failures that also match INTERNAL strings
+            if "out of memory" in rep or "RESOURCE_EXHAUSTED" in rep:
+                transient = False
             if attempt < retries and transient:
                 extra[err_key + "_retry"] = attempt + 1
                 time.sleep(60)
@@ -310,9 +313,13 @@ def _run_sections(out, extra, timings):
         from meshfem_tpu.sparse.routed_ebe import RoutedEBE
 
         t0 = time.time()
+        # block_rhs=6 up front: ONE operator (one KeB copy in HBM) serves
+        # both the single-vector CG and the 6-RHS block section — a
+        # second build for the block plans OOMed HBM in the r5 prep run
         rk = RoutedEBE.build(Ke, np.asarray(mesh.elem_nodes),
                              mesh.num_nodes, 3,
-                             coords=np.asarray(mesh.node_positions))
+                             coords=np.asarray(mesh.node_positions),
+                             block_rhs=None if degraded else 6)
         timings["routed_plan_build_s"] = round(time.time() - t0, 2)
         state["rk"] = rk
         diag_i = rk.diagonal()
@@ -366,9 +373,9 @@ def _run_sections(out, extra, timings):
     if not degraded:
         _section(extra, "factored_error", _sec_factored)
 
-    # gather-pyramid EBE (the f64-capable fallback operator)
-    kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
-    diag = kern.diagonal()
+    # (the f32 gather-pyramid EBE fallback is built lazily inside the
+    # 6-RHS section's non-routed branch only — every resident GB counts:
+    # the r5 prep run OOMed 15.75G HBM with it and a duplicate KeB live)
 
     # ---- solve-to-tolerance: f64 refinement around the f32 routed CG ------
     # The reference's CHOLMOD role (all-f64 solve); target 1e-8 fields on
@@ -418,12 +425,28 @@ def _run_sections(out, extra, timings):
     # nested P1 routed -> aggregation -> dense), f64-refined to 1e-10 —
     # bounded inner iterations at 1.17M DOF with zero host callbacks.
     def _sec_amg():
-        from meshfem_tpu.physics import ElasticitySimulator, Material
         from meshfem_tpu.solvers.amg import UnstructuredMG
 
-        sim_a = ElasticitySimulator(mesh, Material.isotropic(3, 200.0, 0.3))
-        sim_a._routed = rk if rk is not None else None
-        sim_a.dirichlet_mask[:] = fixed
+        # duck-typed stand-in for the simulator: a FULL ElasticitySimulator
+        # at this scale allocates ~4 GB of f64 element data (Ke + EBE
+        # pyramid) that the AMG build never touches — the r5 prep run
+        # OOMed HBM on exactly that (UnstructuredMG.build reads mesh,
+        # geom, D, dof_map, Ke row sums, K_diagonal)
+        class _SimShim:
+            pass
+
+        sim_a = _SimShim()
+        sim_a.mesh = mesh
+        sim_a.geom = type("G", (), {"grad_lambda": gl64,
+                                    "volume": vol64})()
+        sim_a.D = D
+        sim_a.Ke = Ke
+        sim_a.elem_dofs = jnp.asarray(np.asarray(mesh.elem_nodes))
+        sim_a.dof_map = np.arange(mesh.num_nodes)
+        sim_a.num_dofs = mesh.num_nodes
+        sim_a.dim = 3
+        sim_a.dirichlet_mask = fixed
+        sim_a.K_diagonal = lambda: rk.permute_out(rk.diagonal())
         t0 = time.time()
         amg = UnstructuredMG.build(sim_a, fixed_mask=fixed, rk=rk)
         timings["amg_build_s"] = round(time.time() - t0, 2)
@@ -460,17 +483,10 @@ def _run_sections(out, extra, timings):
         rng = np.random.default_rng(0)
         B6 = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3, m_rhs)), dt)
         if rk is not None and hasattr(rk, "apply_block"):
-            from meshfem_tpu.sparse.routed_ebe import RoutedEBE
-
-            # block plans: all 6 columns x 3 components through ONE index
-            # stream (the single-vector plans come from the plan cache)
-            t0 = time.time()
-            rk6 = RoutedEBE.build(Ke, np.asarray(mesh.elem_nodes),
-                                  mesh.num_nodes, 3,
-                                  coords=np.asarray(mesh.node_positions),
-                                  block_rhs=m_rhs)
-            timings["block_plan_build_s"] = round(time.time() - t0, 2)
-            rk_b = rk6
+            # block plans (all 6 columns x 3 components through ONE
+            # index stream) were built into rk up front
+            rk_b = rk
+            extra["pcg_6rhs_block_planes"] = bool(rk.bm == m_rhs)
             B6_i = rk_b.permute_in(B6)
             diag6 = rk_b.diagonal()
             free6 = jnp.ones((mesh.num_nodes, 3), dt)
@@ -502,6 +518,8 @@ def _run_sections(out, extra, timings):
                                           project=proj, iters=L).x
                 return f
 
+            kern = EBEKernel.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
+            diag = kern.diagonal()
             t0 = time.time()
             t_gen6 = per_iter(mk_cg6, (kern, B6, diag, free), lens=(2, 12))
             extra["pcg_6rhs_path"] = "ebe"
@@ -541,10 +559,13 @@ def _run_sections(out, extra, timings):
         extra["pcg_vs_baseline_1k_structured"] = round(pcg_structured / 1e3,
                                                        4)
         # cross-round comparability (round-4 lesson: r2 2367.5 vs r4
-        # 1294.8 it/s had no config on the record to tell why)
+        # 1294.8 it/s had no config on the record to tell why — probe
+        # verdict: packed conv spatial dims n+1: (36,36) -> 2393 it/s,
+        # (37,37) -> 1292 it/s on v5e; shape-dependent XLA conv tiling,
+        # not a regression)
         extra["structured_cfg"] = (
-            f"grid n={n} P2 f32 lane-packed-conv lens=16/816 "
-            f"{jax.default_backend()}")
+            f"n={n} P2 f32 conv 16/816 {jax.default_backend()}; "
+            f"shape-dep: n35 2393 n36 1292 it/s")
 
     _section(extra, "cg_structured_error", _sec_structured)
 
