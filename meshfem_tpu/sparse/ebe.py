@@ -17,6 +17,14 @@ import jax.numpy as jnp
 from .scatter import ScatterPlan
 
 
+@jax.jit
+def _ebe_apply(kernel, u):
+    """Jitted apply: eager per-op dispatch would materialize the fused
+    multiply-reduce's [E, nd, nd] temp (1.9 GB f64 at bench scale); under
+    jit XLA fuses it away.  Inside caller jits this inlines."""
+    return kernel._apply_impl(u)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EBEKernel:
@@ -40,7 +48,32 @@ class EBEKernel:
         k.precision = precision
         return k
 
+    def _contract(self, ue_flat):
+        """fe[e, i] = Ke[e, i, j] ue[e, j].
+
+        f64 goes through a fused multiply-reduce instead of einsum: the
+        einsum lowers to a batched dot whose 30-wide contraction pads to
+        128 lanes — on the f64-EMULATED TPU path that materializes ~4.3x
+        the 1.9 GB Ke per operand copy (measured: 19.65 G HBM for one
+        eager apply at 280k P2 tets — a guaranteed OOM).  The
+        multiply-reduce fuses under jit (no [E, nd, nd] temp) and the
+        f64 role is accuracy, not throughput."""
+        if self.Ke.dtype == jnp.float64:
+            return jnp.sum(self.Ke * ue_flat[:, None, :], axis=-1)
+        return jnp.einsum("eij,ej->ei", self.Ke, ue_flat,
+                          precision=getattr(self, "precision", None))
+
+    def _contract_multi(self, ue, m):
+        if self.Ke.dtype == jnp.float64 and m <= 8:
+            return jnp.sum(self.Ke[:, :, :, None]
+                           * ue[:, None, :, :], axis=2)
+        return jnp.einsum("eij,ejm->eim", self.Ke, ue,
+                          precision=getattr(self, "precision", None))
+
     def __call__(self, u):
+        return _ebe_apply(self, u)
+
+    def _apply_impl(self, u):
         E, nd, _ = self.Ke.shape
         n = self.elem_dofs.shape[1]
         d = self.vector_dim
@@ -48,20 +81,18 @@ class EBEKernel:
         if d == 1:
             ue = u[self.elem_dofs]                      # [E, n] or [E, n, m]
             if not multi:
-                fe = jnp.einsum("eij,ej->ei", self.Ke, ue)
+                fe = self._contract(ue)
                 return self.plan(fe.reshape(E * n))
-            fe = jnp.einsum("eij,ejm->eim", self.Ke, ue,
-                            precision=getattr(self, "precision", None))
             m = u.shape[-1]
+            fe = self._contract_multi(ue, m)
             return self.plan(fe.reshape(E * n, m))
         ue = u[self.elem_dofs]                          # [E, n, d(, m)]
         if not multi:
-            fe = jnp.einsum("eij,ej->ei", self.Ke, ue.reshape(E, nd))
+            fe = self._contract(ue.reshape(E, nd))
             return self.plan(fe.reshape(E * n, d))
         m = u.shape[-1]
         ue = ue.reshape(E, nd, m)
-        fe = jnp.einsum("eij,ejm->eim", self.Ke, ue,
-                        precision=getattr(self, "precision", None))
+        fe = self._contract_multi(ue, m)
         return self.plan(
             fe.reshape(E, n, d, m).reshape(E * n, d * m)).reshape(
                 self.num_dofs, d, m)

@@ -461,7 +461,14 @@ class RoutedEBE:
 
         gather, scatter, scatter_rest = plan_set(d)
         if block_rhs:
-            bgather, bscatter, bscatter_rest = plan_set(d * block_rhs)
+            # column GROUPS: the planes-mode kernels double-buffer a
+            # [planes, blk_rows, 128] source block in VMEM and small
+            # bucket outputs get stack-allocated there too — planes = 18
+            # measured 19.5M scoped-vmem (OOM).  Cap planes at ~9 and
+            # loop apply_block over ceil(m / g) column groups.
+            g = max(1, 9 // d)
+            bgather, bscatter, bscatter_rest = plan_set(d * min(
+                g, block_rhs))
         else:
             bgather, bscatter, bscatter_rest = None, None, ()
         fields = cls._element_fields(Ke, factor and (gl, volume, lam,
@@ -690,7 +697,19 @@ class RoutedEBE:
         m = U.shape[-1]
         U = U.astype(jnp.float32)
         if self.bgather is not None and m == self.bm:
-            return self._apply_block_planes(U, Eb, n, d, m)
+            g = self.bgather.planes // d      # columns per plane group
+            if g >= m:
+                return self._apply_block_planes(U, Eb, n, d, m)
+            # VMEM caps the plane count (~9): run ceil(m/g) column
+            # groups through the d*g-plane plans, padding the tail
+            pad = (-m) % g
+            if pad:
+                U = jnp.concatenate(
+                    [U, jnp.zeros(U.shape[:-1] + (pad,), U.dtype)],
+                    axis=-1)
+            outs = [self._apply_block_planes(U[..., j:j + g], Eb, n, d, g)
+                    for j in range(0, m + pad, g)]
+            return jnp.concatenate(outs, axis=-1)[..., :m]
         src = jnp.transpose(U.reshape(self.num_dofs, d, m),
                             (2, 1, 0))                    # [m, d, N]
         ues = [self.gather(src[j], interpret=self.interpret)
@@ -703,7 +722,7 @@ class RoutedEBE:
 
     def _apply_block_planes(self, U, Eb, n, d, m):
         """All m columns AND d components through ONE routing pass
-        (plans built with ``block_rhs=m``): the per-value index traffic
+        (plans built with ``block_rhs``): the per-value index traffic
         — as large as one plane of routed data — amortizes d*m-fold."""
         # plane p = c * m + j (component-major: contract reads directly)
         src = jnp.transpose(U.reshape(self.num_dofs, d, m),

@@ -119,9 +119,11 @@ def test_routed_ebe_scatter_variants_match(rng, tiles, monkeypatch):
     _PLAN_CACHE.clear()
 
 
-def test_routed_ebe_block_planes_matches_columns(rng):
-    """apply_block with block plans (d*m planes, one index stream) ==
-    column-by-column applies, dense and factored backends."""
+@pytest.mark.parametrize("m", [3, 5])
+def test_routed_ebe_block_planes_matches_columns(rng, m):
+    """apply_block with block plans (one index stream per column group)
+    == column-by-column applies, dense and factored backends; m=5
+    exercises the VMEM-capped group loop with a padded tail."""
     from meshfem_tpu.mesh import FEMMesh, generators
     from meshfem_tpu.physics import ElasticitySimulator, Material
     from meshfem_tpu.sparse.routed_ebe import RoutedEBE
@@ -130,13 +132,12 @@ def test_routed_ebe_block_planes_matches_columns(rng):
     V, T = generators.grid_tet(4, 4, 4)
     mesh = FEMMesh(V, T, degree=2)
     sim = ElasticitySimulator(mesh, Material.isotropic(3, 2.3, 0.31))
-    m = 3
     rkb = RoutedEBE.build(jnp.asarray(sim.Ke, jnp.float32),
                           np.asarray(sim.elem_dofs), sim.num_dofs, 3,
                           coords=np.asarray(mesh.node_positions),
                           block_rhs=m)
     assert rkb.bm == m and rkb.bgather is not None
-    assert rkb.bgather.planes == 3 * m
+    assert rkb.bgather.planes == 3 * min(m, 3)
     U = jnp.asarray(rng.standard_normal((sim.num_dofs, 3, m)),
                     jnp.float32)
     Ui = rkb.permute_in(U)
