@@ -135,19 +135,51 @@ def cg(
         CHUNK = 96
     import jax.core as _core
 
-    def run_chunk(state, limit):
-        def c2(s):
-            return jnp.logical_and(cond(s), s[5] < limit)
-        return jax.lax.while_loop(c2, body, state)
-
     if isinstance(b, _core.Tracer) or isinstance(gamma0, _core.Tracer):
         state = jax.lax.while_loop(cond, body, state)
     else:
-        run_chunk_j = jax.jit(run_chunk)
+        # Ship the operator as a jit ARGUMENT when it is an array pytree
+        # (RoutedEBE / EBEKernel / structured ops): closure-captured
+        # arrays are baked into the compiled module as CONSTANTS — a
+        # 1 GB lane-major KeB made the remote-compile request exceed the
+        # relay's HTTP body limit (HTTP 413) at 1.17M DOF.
+        op_leaves = jax.tree_util.tree_leaves(A)
+        op_is_pytree = bool(op_leaves) and all(
+            hasattr(l, "dtype") or isinstance(l, (int, float))
+            for l in op_leaves)
+        if op_is_pytree:
+            def body_with(A_, state):
+                # re-point the closed-over operator at the traced
+                # argument for the duration of this trace
+                nonlocal A
+                saved = A
+                A = A_
+                try:
+                    return body(state)
+                finally:
+                    A = saved
+
+            def run_chunk(A_, state, limit):
+                def c2(s):
+                    return jnp.logical_and(cond(s), s[5] < limit)
+                return jax.lax.while_loop(
+                    c2, lambda s: body_with(A_, s), state)
+
+            run_chunk_j = jax.jit(run_chunk)
+        else:
+            def run_chunk(state, limit):
+                def c2(s):
+                    return jnp.logical_and(cond(s), s[5] < limit)
+                return jax.lax.while_loop(c2, body, state)
+
+            run_chunk_j = jax.jit(run_chunk)
         while True:
             limit = jnp.asarray(min(int(state[5]) + CHUNK, maxiter),
                                 jnp.int32)
-            state = run_chunk_j(state, limit)
+            if op_is_pytree:
+                state = run_chunk_j(A, state, limit)
+            else:
+                state = run_chunk_j(state, limit)
             if bool(state[6]) or int(state[5]) >= maxiter \
                     or not bool(cond(state)):
                 break
