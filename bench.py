@@ -154,7 +154,8 @@ def _section(extra, err_key, fn, retries=3):
             rep = repr(e)
             transient = any(t in rep for t in (
                 "remote_compile", "UNAVAILABLE", "INTERNAL", "DEADLINE",
-                "Socket closed", "Connection reset"))
+                "Socket closed", "Connection reset",
+                "worker hostname", "worker process"))
             # deterministic failures that also match INTERNAL strings
             if "out of memory" in rep or "RESOURCE_EXHAUSTED" in rep:
                 transient = False
