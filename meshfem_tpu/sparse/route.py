@@ -647,11 +647,14 @@ def _round_rows(n_src, blk_rows_req):
 
 def _default_blk_rows(blk_rows, planes):
     """Per-plane VMEM source-block rows: the resident block is
-    [planes, blk_rows, 128] f32, so keep planes * blk_rows near the
-    single-plane budget (12288 rows ~ 6.3 MB)."""
+    [planes, blk_rows, 128] f32 and DOUBLE-BUFFERED, and small bucket
+    outputs get stack-allocated in VMEM too — at planes > 4 a 12288-row
+    total budget measured 16.5 M scoped vmem (OOM at 16 M); shrink the
+    many-plane budget so block + output headroom fits."""
     if blk_rows is not None:
         return blk_rows
-    return max(8, (12288 // planes) // 8 * 8)
+    budget = 12288 if planes <= 4 else 7168
+    return max(8, (budget // planes) // 8 * 8)
 
 
 def plan_copy(src_ids, n_src: int, blk_rows: int | None = None,

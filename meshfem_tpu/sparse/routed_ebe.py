@@ -460,17 +460,24 @@ class RoutedEBE:
             return cached
 
         gather, scatter, scatter_rest = plan_set(d)
-        if block_rhs:
-            # column GROUPS: the planes-mode kernels double-buffer a
-            # [planes, blk_rows, 128] source block in VMEM and small
-            # bucket outputs get stack-allocated there too — planes = 18
-            # measured 19.5M scoped-vmem (OOM).  Cap planes at ~9 and
-            # loop apply_block over ceil(m / g) column groups.
+        import os
+
+        if block_rhs and os.environ.get("MESHFEM_BLOCK_PLANES") == "1":
+            # EXPERIMENTAL (off by default): d*m-plane block plans.
+            # Measured at 1.17M DOF on v5e: planes=18 OOMs scoped VMEM
+            # (double-buffered source block + stack-allocated small
+            # bucket outputs), and the planes=9 fallback needs such
+            # small per-plane blocks (~790 rows) that spill fix-ups
+            # dominate — 41 ms/column vs 5.8 ms single-vector.  The
+            # production apply_block instead reuses the d-plane plans
+            # per column and amortizes the KeB read through ONE stacked
+            # contraction (_contract_block).
             g = max(1, 9 // d)
             bgather, bscatter, bscatter_rest = plan_set(d * min(
                 g, block_rhs))
         else:
             bgather, bscatter, bscatter_rest = None, None, ()
+            block_rhs = 0
         fields = cls._element_fields(Ke, factor and (gl, volume, lam,
                                                      mu, deg),
                                      E, Eb, Ep, n, d, nd)
@@ -731,7 +738,8 @@ class RoutedEBE:
             .reshape(d, m, Eb, n, 128)
         if self.KeB is not None:
             uem = jnp.transpose(ue, (0, 2, 3, 4, 1))  # [d, Eb, n, 128, m]
-            fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem)
+            fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem,
+                             precision=jax.lax.Precision.HIGHEST)
             fe = jnp.transpose(fem, (0, 4, 1, 2, 3))  # [d, m, Eb, n, 128]
         else:
             fes = [self._contract(ue[:, j]) for j in range(m)]
@@ -750,7 +758,12 @@ class RoutedEBE:
         if self.KeB is None:
             return [self._contract(ue) for ue in ues]
         uem = jnp.stack(ues, axis=-1)            # [d, Eb, n, 128, m]
-        fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem)
+        # HIGHEST: the m-column contraction lowers to an MXU dot whose
+        # default f32 path runs bf16 passes (measured 3.4e-3 apply error
+        # vs the per-column VPU multiply-reduce); the matmul is
+        # KeB-streaming-bound so full precision is free
+        fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem,
+                         precision=jax.lax.Precision.HIGHEST)
         return [fem[..., j] for j in range(len(ues))]
 
     def diagonal(self):

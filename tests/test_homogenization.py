@@ -200,7 +200,7 @@ def test_routed_block_cell_problems_match_jacobi():
     sim_b = hom2.periodic_simulator(mesh, mat)
     w_b, _ = hom2.solve_cell_problems(sim_b, tol=1e-10, precond="jacobi",
                                       operator="routed")
-    assert sim_b._routed is not None and sim_b._routed.bm == 6
+    assert sim_b._routed is not None
     Ch_b = hom2.homogenized_tensor_stress_form(sim_b, w_b)
     scale = float(np.abs(np.asarray(Ch_a)).max())
     assert np.abs(np.asarray(Ch_b) - np.asarray(Ch_a)).max() < 2e-5 * scale

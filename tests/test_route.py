@@ -120,10 +120,13 @@ def test_routed_ebe_scatter_variants_match(rng, tiles, monkeypatch):
 
 
 @pytest.mark.parametrize("m", [3, 5])
-def test_routed_ebe_block_planes_matches_columns(rng, m):
+def test_routed_ebe_block_planes_matches_columns(rng, m, monkeypatch):
     """apply_block with block plans (one index stream per column group)
     == column-by-column applies, dense and factored backends; m=5
-    exercises the VMEM-capped group loop with a padded tail."""
+    exercises the VMEM-capped group loop with a padded tail.  (Block
+    plans are experimental/env-gated: measured slower at bench scale —
+    see RoutedEBE.build.)"""
+    monkeypatch.setenv("MESHFEM_BLOCK_PLANES", "1")
     from meshfem_tpu.mesh import FEMMesh, generators
     from meshfem_tpu.physics import ElasticitySimulator, Material
     from meshfem_tpu.sparse.routed_ebe import RoutedEBE
