@@ -20,11 +20,24 @@ if not os.environ.get("MESHFEM_TPU_TESTS"):
                 allow_module_level=True)
 
 import jax  # noqa: E402
+
+# tests/conftest.py forces the CPU platform for the normal suite; undo
+# that here (works as long as the backend is not initialized yet)
+try:
+    jax.config.update("jax_platforms",
+                      os.environ.get("JAX_PLATFORMS", "axon") or None)
+except Exception:  # pragma: no cover
+    pass
+
 import jax.numpy as jnp  # noqa: E402
 
-if jax.default_backend() not in ("tpu", "axon") and \
-        jax.devices()[0].platform not in ("tpu", "axon"):
-    pytest.skip("no TPU attached", allow_module_level=True)
+try:
+    _plat = jax.devices()[0].platform
+except Exception:
+    _plat = "none"
+if _plat not in ("tpu", "axon"):
+    pytest.skip(f"no TPU attached (platform {_plat})",
+                allow_module_level=True)
 
 
 def test_fused_contract_kernel_mosaic_matches_einsum():
