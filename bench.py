@@ -311,7 +311,7 @@ def _run_sections(out, extra, timings):
         return f
 
     def _sec_cg_general():
-        from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+        from meshfem_tpu.sparse.routed_ebe import RoutedEBE, PlanesOp
 
         t0 = time.time()
         # block_rhs=6 up front: ONE operator (one KeB copy in HBM) serves
@@ -323,17 +323,23 @@ def _run_sections(out, extra, timings):
                              block_rhs=None if degraded else 6)
         timings["routed_plan_build_s"] = round(time.time() - t0, 2)
         state["rk"] = rk
-        diag_i = rk.diagonal()
         b_i = rk.permute_in(b)
         state["b_i"] = b_i
+        # PLANE-NATIVE CG: vectors stay [d, N] end to end, skipping the
+        # two [N, d] transposes RoutedEBE.__call__ pays per apply
+        diag_p = rk.diagonal_planes()
+        b_p = b_i.T
+        free_p = jnp.ones_like(b_p)
 
         t0 = time.time()
-        t_gen = per_iter(mk_cg, (rk, b_i, diag_i, free), lens=(2, 12))
+        t_gen = per_iter(mk_cg, (PlanesOp(rk), b_p, diag_p, free_p),
+                         lens=(2, 12))
         timings["cg_general_bench_s"] = round(time.time() - t0, 2)
         pcg_general = 1.0 / t_gen
         extra["pcg_iters_per_s_general"] = round(pcg_general, 1)
         extra["pcg_ms_per_iter_general"] = round(t_gen * 1e3, 3)
         extra["routed_backend"] = "dense-KeB"
+        extra["cg_layout"] = "planes"
         # headline PCG ratio is the GENERAL (arbitrary-mesh) path; the
         # structured grid path is reported separately below
         extra["pcg_vs_baseline_1k"] = round(pcg_general / 1e3, 4)
@@ -350,7 +356,7 @@ def _run_sections(out, extra, timings):
     # dense apply (the interpret path is CPU-tested; this is the real
     # chip check).
     def _sec_factored():
-        from meshfem_tpu.sparse.routed_ebe import RoutedEBE
+        from meshfem_tpu.sparse.routed_ebe import RoutedEBE, PlanesOp
 
         lm = et.lame_parameters(D)
         t0 = time.time()
@@ -365,9 +371,11 @@ def _run_sections(out, extra, timings):
             yf = rkf(u_i)
             rel = float(jnp.abs(yf - yd).max() / jnp.abs(yd).max())
             extra["contract_kernel_relerr_tpu"] = float(f"{rel:.2e}")
-        diag_f = rkf.diagonal()
-        b_f = rkf.permute_in(b)
-        t_f = per_iter(mk_cg, (rkf, b_f, diag_f, free), lens=(2, 12))
+        diag_fp = rkf.diagonal_planes()
+        b_fp = rkf.permute_in(b).T
+        t_f = per_iter(mk_cg, (PlanesOp(rkf), b_fp,
+                               diag_fp, jnp.ones_like(b_fp)),
+                       lens=(2, 12))
         extra["pcg_iters_per_s_general_factored"] = round(1.0 / t_f, 1)
         timings["cg_factored_ms_per_iter"] = round(t_f * 1e3, 3)
 

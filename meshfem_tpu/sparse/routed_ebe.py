@@ -313,6 +313,29 @@ def _scatter_ladder(ed, Eb, n, N, cap=4, group=8):
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class PlanesOp:
+    """Pytree callable exposing an operator's PLANE-layout apply.
+
+    Wraps a :class:`RoutedEBE` (or anything with ``apply_planes``) so
+    solvers can ship it as a jit argument and iterate on [d, N] vectors
+    — no [N, d] <-> [d, N] transpose on the hot path (two full-vector
+    HBM relayouts per CG iteration otherwise)."""
+
+    op: object
+
+    def __call__(self, u):
+        return self.op.apply_planes(u)
+
+    def tree_flatten(self):
+        return (self.op,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class RoutedEBE:
     """Symmetric routed EBE operator for scalar or vector dofs.
 
@@ -672,15 +695,26 @@ class RoutedEBE:
             y = p(y, interpret=self.interpret)
         return y
 
-    def __call__(self, u):
+    def apply_planes(self, src):
+        """Plane-native apply: ``src [d, N] -> A src [d, N]``.
+
+        The kernels work in component planes end to end; ``__call__``
+        wraps this with the user-layout [N, d] transposes.  Solvers that
+        keep their vectors in plane layout (``PlanesOp``) skip those
+        per-apply relayouts entirely — at 1.17M DOF the two [N, 3]
+        transposes are pure HBM glue on every CG iteration."""
         Eb, n = self._eb_n()
+        d = self.vector_dim
+        ue = self.gather(src.astype(jnp.float32),
+                         interpret=self.interpret).reshape(d, Eb, n, 128)
+        fe = self._contract(ue)
+        return self._scatter(fe.reshape(d, -1))           # [d, N]
+
+    def __call__(self, u):
         d = self.vector_dim
         u = u.astype(jnp.float32)
         src = u.reshape(self.num_dofs, d).T               # [d, N] planes
-        ue = self.gather(src, interpret=self.interpret) \
-            .reshape(d, Eb, n, 128)
-        fe = self._contract(ue)
-        y = self._scatter(fe.reshape(d, -1))              # [d, N]
+        y = self.apply_planes(src)
         if d == 1:
             return y.reshape(u.shape)
         return y.reshape(d, self.num_dofs).T.reshape(u.shape)
@@ -787,6 +821,13 @@ class RoutedEBE:
         if d == 1:
             return y.reshape(self.num_dofs)
         return y.reshape(d, self.num_dofs).T
+
+    def diagonal_planes(self):
+        """Operator diagonal in plane layout [d, N] (see
+        :meth:`apply_planes`)."""
+        d = self.vector_dim
+        dg = self.diagonal()
+        return dg.reshape(1, -1) if d == 1 else dg.T
 
     def tree_flatten(self):
         return ((self.KeB, self.gather, self.scatter, self.scatter_rest,

@@ -449,3 +449,37 @@ def test_homogenize_routed_cell_problems(rng):
     Ch1 = hom.homogenized_tensor_stress_form(sim, w1)
     np.testing.assert_allclose(np.asarray(Ch1), np.asarray(Ch0),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_routed_ebe_planes_apply_matches_call(rng):
+    """apply_planes/PlanesOp ([d, N] plane layout) is the same operator
+    as __call__ ([N, d]) — including diagonal_planes and a plane-native
+    CG solve reaching the same iterate."""
+    from meshfem_tpu.mesh import FEMMesh, generators
+    from meshfem_tpu.mesh.geometry import simplex_geometry
+    from meshfem_tpu.ops import element_matrices as em
+    from meshfem_tpu.fem import elasticity_tensor as et
+    from meshfem_tpu.sparse.routed_ebe import RoutedEBE, PlanesOp
+    from meshfem_tpu.solvers import cg as cg_mod
+
+    V, T = generators.grid_tet(4, 4, 3)
+    mesh = FEMMesh(V, T, degree=2, node_order="morton")
+    gl, vol = simplex_geometry(jnp.asarray(V)[jnp.asarray(T)], 3)
+    D = et.isotropic(3, 200.0, 0.3)
+    M = em.fused_matrix_for(D, 3, 2, jnp.float32)
+    Ke = em.element_elasticity_fused_apply(
+        jnp.asarray(gl, jnp.float32), jnp.asarray(vol, jnp.float32), M, 10)
+    rk = RoutedEBE.build(Ke, mesh.elem_nodes, mesh.num_nodes, 3)
+    u = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
+    y_call = np.asarray(rk(u))
+    y_planes = np.asarray(PlanesOp(rk)(u.T)).T
+    np.testing.assert_allclose(y_planes, y_call, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rk.diagonal_planes()).T,
+                               np.asarray(rk.diagonal()), rtol=1e-6)
+    b = jnp.asarray(rng.standard_normal((mesh.num_nodes, 3)), jnp.float32)
+    free = jnp.ones_like(b)
+    r_row = cg_mod.cg_operator_fixed(rk, b, rk.diagonal(), free, iters=12)
+    r_pl = cg_mod.cg_operator_fixed(PlanesOp(rk), b.T, rk.diagonal_planes(),
+                                    free.T, iters=12)
+    np.testing.assert_allclose(np.asarray(r_pl.x).T, np.asarray(r_row.x),
+                               rtol=2e-4, atol=2e-6)
