@@ -182,6 +182,147 @@ def _factored_call(Eb, n, K1, dim, lam, mu, B, interpret):
     )
 
 
+# ---------------------------------------------------------------------------
+# Quadrature-point stress kernel (the production factored path)
+# ---------------------------------------------------------------------------
+#
+# The TQ kernel above pushes the constant gradgrad contractions onto the
+# MXU, but its matmul shapes ([256, 16] @ [16, 128]) fill 1/8 of the
+# systolic array and measured 2.2 ms at the 1.17M-DOF bench (vs its
+# ~0.5 ms compute bound).  The kernel below abandons the table form for
+# the classic matrix-free FEM apply — strain -> stress -> force at the
+# quadrature points (one affine-element pass is exact:
+# sum_q w_q dN[q,i,k] dN[q,j,l] == gradgrad_table[k,l,i,j], asserted at
+# build) — with a SUPERBLOCK layout that makes every op a full vreg:
+#
+#   * elements are laid out 1024 per superblock, (sublane, lane) =
+#     (within-block row, element % 128); gathered values arrive
+#     [d, n, 8, 128] per superblock, so u[c, i] IS one [8, 128] vreg;
+#   * per qp: gphi[i, cb] = dN[q, i, k] g[k, cb] (sparse in k: 1 nonzero
+#     for vertex nodes, 2 for edge nodes at P2), the displacement
+#     gradient G[c, cb] = sum_i u[c, i] gphi[i, cb], isotropic stress
+#     sigma = mu (G + G^T) + lam tr(G) I scaled by w_q * vol, and
+#     f[c, i] += gphi[i, cb] sigma[c, cb] — ALL as [8, 128] vreg
+#     multiply-adds, ~1000 per superblock per qp set;
+#   * no MXU, no sublane-waste [1, 128] rows, no padded tables.
+#
+# Arithmetic is ~1.6 KFLOP/element (LESS than applying the dense Ke's
+# 900 multiply-adds) at 13 f32/element of traffic.  This is the role of
+# the reference's per-quadrature-point stress loop
+# (``LinearElasticity.hh:165-232``) rebuilt lane-major.
+
+
+@functools.lru_cache(maxsize=None)
+def qp_tables(K: int, deg: int):
+    """(dN [Q, n, K+1], w [Q]) — shape-function barycentric gradients at
+    the degree-2(deg-1) quadrature points.  Exactness is asserted against
+    the integrated gradgrad table."""
+    from ..fem.quadrature import rule_np
+    from ..fem.shape_functions import grad_shape_np
+    from ..ops.element_matrices import gradgrad_table
+
+    P, W = rule_np(K, max(2 * (deg - 1), 1))
+    dN = grad_shape_np(K, deg, P)              # [Q, n, K1]
+    T = np.asarray(gradgrad_table(K, deg), np.float64)
+    Tq = np.einsum("q,qik,qjl->klij", W, dN, dN)
+    assert np.abs(Tq - T).max() < 1e-10, "quadrature rule not exact"
+    return dN, W
+
+
+def _qp_kernel(g_ref, vol_ref, u_ref, o_ref, gphi_ref, *,
+               n, K1, dim, lam, mu, dN, W):
+    Q = dN.shape[0]
+    f32 = jnp.float32
+    lam32, mu32 = np.float32(lam), np.float32(mu)
+    f = [[jnp.zeros((8, 128), f32) for _ in range(n)] for _ in range(dim)]
+    for q in range(Q):
+        # gphi[i, cb] = sum_k dN[q, i, k] g[k, cb]  (sparse in k)
+        for i in range(n):
+            for cb in range(dim):
+                acc = None
+                for k in range(K1):
+                    c = float(dN[q, i, k])
+                    if c == 0.0:
+                        continue
+                    t = np.float32(c) * g_ref[0, k * dim + cb]
+                    acc = t if acc is None else acc + t
+                gphi_ref[i * dim + cb] = acc if acc is not None else \
+                    jnp.zeros((8, 128), f32)
+        # displacement gradient G[c, cb] = sum_i u[c, i] gphi[i, cb]
+        G = [[None] * dim for _ in range(dim)]
+        for c in range(dim):
+            for cb in range(dim):
+                acc = u_ref[c, 0, 0] * gphi_ref[cb]
+                for i in range(1, n):
+                    acc = acc + u_ref[c, 0, i] * gphi_ref[i * dim + cb]
+                G[c][cb] = acc
+        tr = G[0][0]
+        for c in range(1, dim):
+            tr = tr + G[c][c]
+        wv = vol_ref[0] * np.float32(W[q])
+        S = [[None] * dim for _ in range(dim)]
+        for c in range(dim):
+            for cb in range(dim):
+                s = mu32 * (G[c][cb] + G[cb][c])
+                if c == cb:
+                    s = s + lam32 * tr
+                S[c][cb] = s * wv
+        # f[c, i] += gphi[i, cb] * sigma[c, cb]
+        for i in range(n):
+            for cb in range(dim):
+                gp = gphi_ref[i * dim + cb]
+                for c in range(dim):
+                    f[c][i] = f[c][i] + gp * S[c][cb]
+    for c in range(dim):
+        for i in range(n):
+            o_ref[c, 0, i] = f[c][i]
+
+
+@functools.lru_cache(maxsize=16)
+def _qp_call(E8, n, K1, dim, lam, mu, deg, interpret):
+    dN, W = qp_tables(dim, deg)
+    kern = functools.partial(_qp_kernel, n=n, K1=K1, dim=dim,
+                             lam=lam, mu=mu, dN=dN, W=W)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(E8,),
+            in_specs=[
+                pl.BlockSpec((1, K1 * dim, 8, 128),
+                             lambda i: (i, _Z, _Z, _Z)),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, _Z, _Z)),
+                pl.BlockSpec((dim, 1, n, 8, 128),
+                             lambda i: (_Z, i, _Z, _Z, _Z)),
+            ],
+            out_specs=pl.BlockSpec((dim, 1, n, 8, 128),
+                                   lambda i: (_Z, i, _Z, _Z, _Z)),
+            scratch_shapes=[
+                pltpu.VMEM((n * dim, 8, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((dim, E8, n, 8, 128), jnp.float32),
+        interpret=bool(interpret),
+    )
+
+
+def qp_contract(GB2, volB, ue, lam, mu, K: int, deg: int,
+                interpret: bool = False):
+    """Superblock quadrature-point apply: ``f = vol Ke u`` without Ke.
+
+    GB2: [E8, K1*dim, 8, 128] grad_lambda (superblock lane-major);
+    volB: [E8, 8, 128]; ue: [d, E8, n, 8, 128] gathered element values.
+    Returns [d, E8, n, 8, 128] f32.  ``lam``/``mu`` static floats (baked,
+    bounded cache)."""
+    dim = K
+    E8 = volB.shape[0]
+    K1 = GB2.shape[1] // dim
+    n = ue.shape[2]
+    call = _qp_call(E8, n, K1, dim, float(lam), float(mu), deg,
+                    interpret)
+    return call(GB2, volB, ue)
+
+
 def factored_contract(GB2, volB, ue, lam, mu, K: int, deg: int,
                       interpret: bool = False, B: int = 8):
     """Fused apply: ``fe[c, e, i, l] = vol Ke u`` for the factored

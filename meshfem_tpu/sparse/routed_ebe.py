@@ -461,6 +461,8 @@ class RoutedEBE:
 
         ed_key = hashlib.sha1(np.ascontiguousarray(elem_dofs)).hexdigest()
 
+        sb = factor is not None    # superblock slot layout (qp kernel)
+
         def plan_set(planes):
             """Build (or fetch) the gather/scatter plan set dispatching
             ``planes`` value planes through the shared index stream
@@ -472,11 +474,11 @@ class RoutedEBE:
                      os.environ.get("MESHFEM_TILE_RUNGS", "0"),
                      os.environ.get("MESHFEM_SCAT_BLK", ""))
             key = (ed_key, N, d, two_level, scatter_mode, "planes-v2",
-                   planes, knobs)
+                   planes, knobs, sb)
             cached = _PLAN_CACHE.get(key)
             if cached is None:
                 cached = cls._build_plan_set(elem_dofs, E, Eb, Ep, n, N,
-                                             planes, two_level)
+                                             planes, two_level, sb=sb)
                 if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
                     _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
                 _PLAN_CACHE[key] = cached
@@ -513,13 +515,28 @@ class RoutedEBE:
 
     @classmethod
     def _build_plan_set(cls, elem_dofs, E, Eb, Ep, n, N, planes,
-                        two_level):
-        """Host-compile one (gather, scatter, scatter_rest) plan set."""
+                        two_level, sb=False):
+        """Host-compile one (gather, scatter, scatter_rest) plan set.
+
+        ``sb``: SUPERBLOCK slot layout for the qp stress kernel
+        (:func:`meshfem_tpu.sparse.contract.qp_contract`): slots ordered
+        ``((e // 1024) * n + a) * 1024 + e % 1024`` — 1024 elements per
+        superblock with (sublane, lane) = (row within block, e % 128),
+        so each gathered node row ``u[c, i]`` is a whole [8, 128] vreg.
+        The scatter ladder keeps its 128-element rung blocks (locality
+        unchanged — a block's slots still span <= n source windows)."""
         d = planes                  # routing planes (index-stream width)
+        if sb:
+            Ep = -(-E // 1024) * 1024
+            Eb = Ep // 128
         ed = np.full((Ep, n), -1, np.int64)
         ed[:E] = elem_dofs
-        # [Eb, n, 128] node id of slot (b, a, l) = element 128 b + l, node a
-        ed_bal = ed.reshape(Eb, 128, n).transpose(0, 2, 1)
+        if sb:
+            # [E8, n, 1024] node id of slot (e8, a, j)
+            ed_bal = ed.reshape(Ep // 1024, 1024, n).transpose(0, 2, 1)
+        else:
+            # [Eb, n, 128] node id of slot (b, a, l) = elem 128 b + l
+            ed_bal = ed.reshape(Eb, 128, n).transpose(0, 2, 1)
 
         # gather: PLANE-LOCAL routing (slot <- node), dispatched in planes
         # mode — the d component planes share one index stream
@@ -551,10 +568,15 @@ class RoutedEBE:
             sblk = int(sblk) if sblk else None
             dst0_node, stages = _scatter_ladder(ed, Eb, n, N, cap=cap)
             S0p = Eb * n * 128
-            # element-major slot s = e*n + a -> plane-local (b, a, l) pos
+            # element-major slot s = e*n + a -> plane-local slot position
             e_idx = np.repeat(np.arange(Ep, dtype=np.int64), n)
             a_idx = np.tile(np.arange(n, dtype=np.int64), Ep)
-            pos_plane = ((e_idx // 128) * n + a_idx) * 128 + (e_idx % 128)
+            if sb:
+                pos_plane = ((e_idx // 1024) * n + a_idx) * 1024 \
+                    + (e_idx % 1024)
+            else:
+                pos_plane = ((e_idx // 128) * n + a_idx) * 128 \
+                    + (e_idx % 128)
             n1 = stages[0][1]
             live0 = np.nonzero(dst0_node >= 0)[0]
             if tiles:
@@ -598,13 +620,18 @@ class RoutedEBE:
 
         K1 = gl.shape[1]                       # K + 1
         dim = gl.shape[2]
-        if Ep != E:
+        # SUPERBLOCK layout (matches the sb=True plans and the qp stress
+        # kernel): 1024 elements per block, lanes = e % 128, sublanes =
+        # (e % 1024) // 128
+        Ep8 = -(-E // 1024) * 1024
+        if Ep8 != E:
             gl = jnp.concatenate(
-                [gl, jnp.zeros((Ep - E, K1, dim), jnp.float32)])
+                [gl, jnp.zeros((Ep8 - E, K1, dim), jnp.float32)])
             volume = jnp.concatenate(
-                [volume, jnp.zeros((Ep - E,), jnp.float32)])
-        GB = jnp.transpose(gl.reshape(Eb, 128, K1, dim), (0, 2, 3, 1))
-        volB = volume.reshape(Eb, 128)
+                [volume, jnp.zeros((Ep8 - E,), jnp.float32)])
+        E8 = Ep8 // 1024
+        GB = jnp.transpose(gl.reshape(E8, 1024, K1, dim), (0, 2, 3, 1))
+        volB = volume.reshape(E8, 1024)
         Tgg = jnp.asarray(gradgrad_table(K1 - 1, deg), jnp.float32)
         return dict(KeB=None, GB=GB, volB=volB, Tgg=Tgg,
                     lam=float(lam), mu=float(mu), deg=int(deg))
@@ -636,6 +663,12 @@ class RoutedEBE:
             return self.KeB.shape[0], self.KeB.shape[1]
         return self.GB.shape[0], self.Tgg.shape[-1]
 
+    @property
+    def _lanes(self):
+        """Trailing lane count of one element block: 128 for the dense
+        KeB layout, 1024 for the factored SUPERBLOCK layout."""
+        return 128 if self.KeB is not None else 1024
+
     def _contract(self, ue):
         """[d, Eb, n, 128] component-major element values -> forces
         [d, Eb, n, 128] (VPU multiply-reduce; lanes = elements)."""
@@ -655,21 +688,39 @@ class RoutedEBE:
         all scaled by vol — three lane-parallel contractions against
         per-element data of (K+1) dim + 1 floats instead of (nd)^2.
 
-        On TPU this runs the FUSED Pallas kernel
-        (:func:`meshfem_tpu.sparse.contract.factored_contract`): XLA
-        lowers the loose einsums below to badly-padded batched matmuls
-        (27 ms vs the 3.7 ms dense apply measured on v5e at 1.17M DOF);
-        the kernel keeps the element dimension on the lanes and does the
-        T-contractions as aligned MXU matmuls.  The einsum form stays as
-        the interpret-mode (CPU) reference."""
+        On TPU this runs the SUPERBLOCK quadrature-point stress kernel
+        (:func:`meshfem_tpu.sparse.contract.qp_contract`): XLA lowers
+        the loose einsums below to badly-padded batched matmuls (27 ms
+        vs the 3.7 ms dense apply measured on v5e at 1.17M DOF), and the
+        earlier TQ table kernel filled 1/8 of the MXU (2.2 ms); the qp
+        kernel is pure full-vreg VPU work at ~1.6 KFLOP/element.  The
+        einsum form stays as the interpret-mode (CPU) reference.
+        ``MESHFEM_FACTORED_TQ=1`` falls back to the TQ kernel (probe
+        insurance; pays two 34 MB relayouts per apply)."""
         if not self.interpret:
-            from .contract import factored_contract
+            import os
 
-            Eb = self.GB.shape[0]
+            E8 = self.GB.shape[0]
             K1, dim = self.GB.shape[1], self.GB.shape[2]
-            GB2 = self.GB.reshape(Eb, K1 * dim, 128)
-            return factored_contract(GB2, self.volB, ue, self.lam,
-                                     self.mu, dim, self.deg)
+            d, n = ue.shape[0], ue.shape[2]
+            if os.environ.get("MESHFEM_FACTORED_TQ") == "1":
+                from .contract import factored_contract
+
+                GB2 = self.GB.reshape(E8, K1 * dim, 8, 128) \
+                    .transpose(0, 2, 1, 3).reshape(E8 * 8, K1 * dim, 128)
+                volB = self.volB.reshape(E8, 8, 128).reshape(E8 * 8, 128)
+                ue_o = ue.reshape(d, E8, n, 8, 128) \
+                    .transpose(0, 1, 3, 2, 4).reshape(d, E8 * 8, n, 128)
+                fe = factored_contract(GB2, volB, ue_o, self.lam,
+                                       self.mu, dim, self.deg)
+                return fe.reshape(d, E8, 8, n, 128) \
+                    .transpose(0, 1, 3, 2, 4)
+            from .contract import qp_contract
+
+            GB2 = self.GB.reshape(E8, K1 * dim, 8, 128)
+            return qp_contract(GB2, self.volB.reshape(E8, 8, 128),
+                               ue.reshape(d, E8, n, 8, 128), self.lam,
+                               self.mu, dim, self.deg)
         # HIGHEST precision: these contractions lower to MXU matmuls,
         # whose default f32 path runs bf16 passes (~1e-3 relative error,
         # measured 2.3e-3 on the apply) — enough asymmetry to stall CG.
@@ -705,8 +756,8 @@ class RoutedEBE:
         transposes are pure HBM glue on every CG iteration."""
         Eb, n = self._eb_n()
         d = self.vector_dim
-        ue = self.gather(src.astype(jnp.float32),
-                         interpret=self.interpret).reshape(d, Eb, n, 128)
+        ue = self.gather(src.astype(jnp.float32), interpret=self.interpret) \
+            .reshape(d, Eb, n, self._lanes)
         fe = self._contract(ue)
         return self._scatter(fe.reshape(d, -1))           # [d, N]
 
@@ -754,7 +805,7 @@ class RoutedEBE:
         src = jnp.transpose(U.reshape(self.num_dofs, d, m),
                             (2, 1, 0))                    # [m, d, N]
         ues = [self.gather(src[j], interpret=self.interpret)
-               .reshape(d, Eb, n, 128) for j in range(m)]
+               .reshape(d, Eb, n, self._lanes) for j in range(m)]
         fes = self._contract_block(ues)
         outs = [self._scatter(fe.reshape(d, -1)) for fe in fes]  # [d, N]
         y = jnp.stack(outs).reshape(m, d, self.num_dofs)
@@ -769,7 +820,7 @@ class RoutedEBE:
         src = jnp.transpose(U.reshape(self.num_dofs, d, m),
                             (1, 2, 0)).reshape(d * m, self.num_dofs)
         ue = self.bgather(src, interpret=self.interpret) \
-            .reshape(d, m, Eb, n, 128)
+            .reshape(d, m, Eb, n, self._lanes)
         if self.KeB is not None:
             uem = jnp.transpose(ue, (0, 2, 3, 4, 1))  # [d, Eb, n, 128, m]
             fem = jnp.einsum("eACacl,cealm->CeAlm", self.KeB, uem,

@@ -116,3 +116,45 @@ def test_fused_contract_kernel_matches_einsum(dim, deg, n_el):
                                        interpret=True, B=2))
     err = np.abs(out - ref).max() / np.abs(ref).max()
     assert err < 1e-5
+
+
+@pytest.mark.parametrize("dim,deg,n_el", [(3, 2, 10), (2, 2, 6), (3, 1, 4)])
+def test_qp_contract_kernel_matches_einsum(dim, deg, n_el):
+    """The superblock quadrature-point stress kernel (qp_contract)
+    reproduces the einsum reference, including superblock padding."""
+    import jax
+    from meshfem_tpu.sparse.contract import qp_contract
+    from meshfem_tpu.ops.element_matrices import gradgrad_table
+
+    rng = np.random.default_rng(2)
+    K1 = dim + 1
+    E8 = 2
+    g = rng.standard_normal((E8, K1, dim)).astype(np.float32)
+    GB = jnp.asarray(np.broadcast_to(g[:, :, :, None],
+                                     (E8, K1, dim, 1024)).copy())
+    volB = jnp.asarray(rng.random((E8, 1024)).astype(np.float32) + 0.5)
+    # zero the tail of the last superblock (simulates element padding)
+    volB = volB.at[-1, 700:].set(0.0)
+    ue = jnp.asarray(rng.standard_normal(
+        (dim, E8, n_el, 1024)).astype(np.float32))
+    lam, mu = 1.7, 0.9
+
+    hp = jax.lax.Precision.HIGHEST
+    T = jnp.asarray(gradgrad_table(dim, deg), jnp.float32)
+    d1 = jnp.einsum("ekcl,cenl->eknl", GB, ue, precision=hp)
+    G2 = jnp.einsum("ekcl,emcl->ekml", GB, GB, precision=hp)
+    Le = jnp.einsum("kmij,ekml->eijl", T, G2, precision=hp)
+    f1 = mu * jnp.einsum("eijl,cejl->ceil", Le, ue, precision=hp)
+    m1 = jnp.einsum("klij,eljL->ekiL", T, d1, precision=hp)
+    m2 = jnp.einsum("klij,ekjL->eliL", T, d1, precision=hp)
+    f2 = lam * jnp.einsum("ekcL,ekiL->ceiL", GB, m1, precision=hp)
+    f3 = mu * jnp.einsum("elcL,eliL->ceiL", GB, m2, precision=hp)
+    ref = np.asarray(volB[None, :, None, :] * (f1 + f2 + f3))
+
+    GB2 = GB.reshape(E8, K1 * dim, 8, 128)
+    out = np.asarray(qp_contract(GB2, volB.reshape(E8, 8, 128),
+                                 ue.reshape(dim, E8, n_el, 8, 128),
+                                 lam, mu, dim, deg, interpret=True))
+    out = out.reshape(dim, E8, n_el, 1024)
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < 1e-5
