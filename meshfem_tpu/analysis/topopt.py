@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from ..mesh import generators
 from ..mesh.femmesh import FEMMesh
 from ..fem import elasticity_tensor as et
-from ..ops import element_matrices as em
 
 
 def _conic_kernel(rmin: float, dim: int = 3):
@@ -86,16 +85,22 @@ class ComplianceTopOpt:
         load[tip, 1] = -1.0 / max(tip.sum(), 1)
         self.load = jnp.asarray(load, self.dtype)
         self.kern = _conic_kernel(self.rmin)
-        # unit-modulus per-tet element matrices: the SIMP gradient needs
-        # per-cell strain energies at E = 1 (dK/drho is linear in them)
-        g = self.mesh.geometry()
+        # unit-modulus structured operator: the SIMP gradient needs
+        # per-cell strain energies at E = 1 (dK/drho is linear in them).
+        # Evaluating them through the structured-var strain matmuls
+        # ([nc, 81] @ Bc^T, MXU) instead of dense per-tet [30, 30]
+        # stiffnesses keeps the memory footprint per-cell (the Ke_unit
+        # array alone was 4.8 GB at 96x48x48 — the round-4 scale OOM)
+        from ..ops.structured_var import StructuredVarP2Elasticity
+        from ..physics.materials import MaterialField
+
         D_unit = et.isotropic(3, 1.0, self.nu)
-        M_fused = em.fused_matrix_for(D_unit, 3, 2, jnp.float32)
-        self.Ke_unit = em.element_elasticity_fused_apply(
-            jnp.asarray(g.grad_lambda, jnp.float32),
-            jnp.asarray(g.volume, jnp.float32), M_fused,
-            self.mesh.nodes_per_elem)
-        self._elem_nodes = jnp.asarray(self.mesh.elem_nodes)
+        E = self.mesh.num_elements
+        unit_field = MaterialField.isotropic_field(
+            3, jnp.ones((E,), self.dtype),
+            jnp.full((E,), self.nu, self.dtype))
+        self._unit_op = StructuredVarP2Elasticity.build(
+            self.mesh, unit_field.D, dtype=self.dtype)
 
     # -- densities -> physical field ------------------------------------
     def filtered(self, rho):
@@ -109,6 +114,24 @@ class ComplianceTopOpt:
     def modulus(self, rho_f):
         return self.E_min + rho_f ** self.penal * (self.E0 - self.E_min)
 
+    def _unit_cell_matrix(self):
+        """[24, 24] P1 cell stiffness of ONE grid cell at E = 1 (all
+        cells share geometry on a uniform Kuhn grid, so the SIMP
+        hierarchy's fine cell matrices are just E_cell * this)."""
+        if getattr(self, "_Kc_unit", None) is None:
+            from ..ops.structured import validate_kuhn_grid
+            from ..ops.structured_mg import _p1_cell_matrices_var
+            from ..physics.materials import MaterialField
+
+            _, h3 = validate_kuhn_grid(self.mesh)
+            V1, T1 = generators.grid_tet(1, 1, 1, hi=tuple(h3))
+            m1 = FEMMesh(V1, T1, degree=2)
+            unit = MaterialField.isotropic_field(
+                3, jnp.ones((6,)), jnp.full((6,), self.nu))
+            self._Kc_unit = np.asarray(
+                _p1_cell_matrices_var(m1, unit.D), np.float64)[0, 0, 0]
+        return self._Kc_unit
+
     def _mg_for(self, rho_f):
         from ..ops.structured_mg import VarStructuredMG
         from ..physics.materials import MaterialField
@@ -117,9 +140,15 @@ class ComplianceTopOpt:
         E_elem = jnp.repeat(E_cell, self.tets_per_cell)
         mats = MaterialField.isotropic_field(
             3, E_elem, jnp.full(E_elem.shape, self.nu))
+        # uniform-grid shortcut: fine P1 cell matrices = E_cell * Kc_unit
+        # (skips the per-iteration [E, 12, 12] element assembly + host
+        # Galerkin einsum — the rebuild cost that dominated at scale)
+        Kc_fine = (np.asarray(E_cell, np.float64)[:, None, None]
+                   * self._unit_cell_matrix()).reshape(
+            self.nx, self.ny, self.nz, 24, 24)
         return VarStructuredMG.build(self.mesh, mats.D,
                                      fixed_mask=jnp.asarray(self.fixed),
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, Kc_fine=Kc_fine)
 
     def solve(self, rho, tol=None):
         """(u [N, 3], iters) for the PHYSICAL (filtered) densities."""
@@ -132,15 +161,29 @@ class ComplianceTopOpt:
     # -- compliance + exact adjoint gradient -----------------------------
     def cell_energies(self, u, v=None):
         """[nx, ny, nz] per-cell bilinear strain energies at E = 1:
-        sum over the cell's tets of u_e^T Ke_unit v_e."""
-        v = u if v is None else v
-        ue = jnp.asarray(u, jnp.float32)[self._elem_nodes].reshape(
-            self.mesh.num_elements, -1)
-        ve = jnp.asarray(v, jnp.float32)[self._elem_nodes].reshape(
-            self.mesh.num_elements, -1)
-        w = jnp.einsum("eij,ei,ej->e", self.Ke_unit, ue, ve)
-        w = w.reshape(-1, self.tets_per_cell).sum(axis=1)
-        return w.reshape(self.nx, self.ny, self.nz)
+        sum over the cell's tets/quad points of strain_u . D_unit strain_v
+        (the structured-var strain matmuls; exact same bilinear form as
+        summing u_e^T Ke_unit v_e, with per-CELL memory)."""
+        op = self._unit_op
+        nx, ny, nz = op.n3
+        nc = nx * ny * nz
+        fl = op.SDS.shape[-1]
+        Q = op.B.shape[1]
+        dt = op.SDS.dtype
+        hp = jax.lax.Precision.HIGHEST
+
+        def strains(w):
+            w27 = op._gather_cells(op.to_channels(
+                jnp.asarray(w, dt))).reshape(nc, 81)
+            return jnp.einsum("xk,sk->xs", w27, op.Bc,
+                              precision=hp).reshape(nc, 6, Q, fl)
+
+        strain_u = strains(u)
+        strain_v = strain_u if v is None else strains(v)
+        stress = jnp.einsum("xtab,xtqb->xtqa", op.SDS, strain_v,
+                            precision=hp) * op.wv[None, :, :, None]
+        w = jnp.einsum("xtqa,xtqa->x", strain_u, stress, precision=hp)
+        return w.reshape(nx, ny, nz)
 
     def compliance_and_grad(self, rho):
         """(c, dc/drho [nx, ny, nz], iters).  Compliance is self-adjoint:

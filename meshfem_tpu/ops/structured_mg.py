@@ -593,7 +593,7 @@ def _p1_cell_matrices_var(mesh, D_elems):
         for a in range(4):
             hot[t, a, vid[m1.elem_nodes[t, a]]] = 1.0
     Kt = Ke1.reshape(ncells, 6, 4, 3, 4, 3)
-    Kc = np.einsum("tak,tbl,xtaibj->xkilj", hot, hot, Kt)
+    Kc = np.einsum("tak,tbl,xtaibj->xkilj", hot, hot, Kt, optimize=True)
     return Kc.reshape(nx, ny, nz, 24, 24)
 
 
@@ -620,7 +620,8 @@ def _coarsen_cell_matrices(Kc_f):
     Kc = np.zeros((nx // 2, ny // 2, nz // 2, 24, 24))
     for si, s in enumerate(_CHANNEL_BITS):
         sub = Kc_f[s[0]::2, s[1]::2, s[2]::2]
-        Kc += np.einsum("fi,xyzfg,gj->xyzij", T24[si], sub, T24[si])
+        Kc += np.einsum("fi,xyzfg,gj->xyzij", T24[si], sub, T24[si],
+                        optimize=True)
     return Kc
 
 

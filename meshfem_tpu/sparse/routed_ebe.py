@@ -311,6 +311,18 @@ def _scatter_ladder(ed, Eb, n, N, cap=4, group=8):
     return dst0, stages
 
 
+def _ladder_group():
+    """Level-2 ladder fan-in (blocks per group): larger groups dedupe
+    more ids before the final unbounded-fan-in ReducePlan rung at the
+    cost of longer level-2 chains.  Probed on v5e at 1.17M DOF
+    (experiments/probe_scat_grp.py): grp=8 rungs 2+3 = 0.65+0.65 ms,
+    grp=32 = 0.71+0.26 ms (level-2 output 627k -> 524k ids, final rung
+    389k), full apply 5.30 -> 5.21 ms; rung 1 is group-independent."""
+    import os
+
+    return int(os.environ.get("MESHFEM_SCAT_GRP", "32"))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PlanesOp:
@@ -472,7 +484,8 @@ class RoutedEBE:
 
             knobs = (os.environ.get("MESHFEM_SCAT_CAP", "4"),
                      os.environ.get("MESHFEM_TILE_RUNGS", "0"),
-                     os.environ.get("MESHFEM_SCAT_BLK", ""))
+                     os.environ.get("MESHFEM_SCAT_BLK", ""),
+                     os.environ.get("MESHFEM_SCAT_GRP", "32"))
             key = (ed_key, N, d, two_level, scatter_mode, "planes-v2",
                    planes, knobs, sb)
             cached = _PLAN_CACHE.get(key)
@@ -566,7 +579,8 @@ class RoutedEBE:
             # every grid step for ~10 useful rows
             sblk = os.environ.get("MESHFEM_SCAT_BLK")
             sblk = int(sblk) if sblk else None
-            dst0_node, stages = _scatter_ladder(ed, Eb, n, N, cap=cap)
+            dst0_node, stages = _scatter_ladder(ed, Eb, n, N, cap=cap,
+                                                group=_ladder_group())
             S0p = Eb * n * 128
             # element-major slot s = e*n + a -> plane-local slot position
             e_idx = np.repeat(np.arange(Ep, dtype=np.int64), n)
